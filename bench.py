@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: full stereo+RDS FM demod throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "fm_stereo_rds_realtime_x", "value": N, "unit": "x_realtime",
+   "vs_baseline": N}
+
+The metric is how many times faster than real time (2.304 MS/s complex IQ in,
+48 kHz stereo audio + RDS bits out) a single chip runs the complete receive
+chain.  vs_baseline is against the reference receiver's implicit performance
+bar of 1.0x real time on a desktop CPU core (BASELINE.md — the reference
+publishes no other numbers); the BASELINE.json north-star target is >=100x.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sdrjfm_tpu import constants as C
+    from sdrjfm_tpu.io import synth
+    from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
+                                            default_controls)
+
+    cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000)
+    rx = Receiver(cfg)
+    step = rx.jit_step()
+    controls = default_controls()
+    state = rx.init_state()
+
+    # realistic input: synthesized stereo+RDS broadcast signal
+    n_fm = cfg.block_fm
+    t = np.arange(n_fm) / C.FM_RATE
+    left = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+    right = 0.6 * np.sin(2 * np.pi * 440.0 * t)
+    rng = np.random.default_rng(0)
+    bits = (rng.random(2000) > 0.5).astype(np.int8)
+    mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
+    iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in]
+    iq = jax.device_put(jnp.asarray(iq_np, jnp.complex64))
+
+    # warm up / compile
+    state, out = step(state, controls, iq)
+    jax.block_until_ready(out.audio)
+
+    # timed: pipeline of blocks, device-resident input (a production ingest
+    # path stages IQ into HBM asynchronously; bench isolates compute)
+    nblocks = 40
+    t0 = time.time()
+    for _ in range(nblocks):
+        state, out = step(state, controls, iq)
+    jax.block_until_ready(out.audio)
+    dt = time.time() - t0
+    sps = nblocks * cfg.block_in / dt
+    realtime_x = sps / C.INPUT_RATE
+
+    print(json.dumps({
+        "metric": "fm_stereo_rds_realtime_x",
+        "value": round(realtime_x, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime_x, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Command-line receiver — the framework's user-facing surface.
+
+Replaces the reference's Qt GUI (radio.cpp / main.cpp) with a CLI for
+offline/streaming use:
+
+    python -m sdrjfm_tpu.app rx --iq capture.wav --audio out.wav \
+        --freq-offset 100000 --mode stereo --rds --report report.json
+
+    python -m sdrjfm_tpu.app synth --out iq.wav --seconds 5 \
+        --station "TPU FM" --radiotext "hello"
+
+`rx` mirrors the reference signal path wav-IQ -> audio wav + RDS report;
+`synth` generates a spec-correct stereo+RDS test capture (no reference
+equivalent — the reference has no fixtures).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_rx_parser(sub):
+    p = sub.add_parser("rx", help="demodulate an IQ wav capture")
+    p.add_argument("--iq", required=True, help="input IQ wav (I=left, Q=right)")
+    p.add_argument("--audio", help="output audio wav (48 kHz stereo)")
+    p.add_argument("--report", help="write JSON report (metadata + RDS)")
+    p.add_argument("--freq-offset", type=int, default=0,
+                   help="LO offset in Hz (station offset within the capture)")
+    p.add_argument("--mode", default="stereo",
+                   choices=["mono", "stereo", "stereo_pano"])
+    p.add_argument("--decoder", default="complex_baseband",
+                   choices=["am", "pll", "mixed", "complex_baseband",
+                            "real_baseband", "difference"])
+    p.add_argument("--sound", default="stereo")
+    p.add_argument("--rds", action="store_true", help="decode RDS")
+    p.add_argument("--no-pss", action="store_true")
+    p.add_argument("--deemphasis", type=float, default=50.0,
+                   help="deemphasis time constant in us (50 EU / 75 US)")
+    p.add_argument("--audio-filter", type=int, default=15000,
+                   help="audio lowpass cutoff Hz (0 = off)")
+    p.add_argument("--input-filter", action="store_true",
+                   help="enable the strong 65536-pt channel filter")
+    p.add_argument("--squelch", default="off", choices=["off", "nsq", "lsq"])
+    p.add_argument("--squelch-level", type=float, default=0.0)
+    p.add_argument("--volume-db", type=float, default=0.0)
+    p.add_argument("--balance", type=int, default=0, help="-100..100")
+    p.add_argument("--frontend", default="flat", choices=["flat", "reference"])
+    p.add_argument("--block-fm", type=int, default=131072)
+    p.add_argument("--pty-locale", type=int, default=0, choices=[0, 1])
+    p.add_argument("--float32", action="store_true",
+                   help="write float32 wav instead of PCM16")
+
+
+def _build_synth_parser(sub):
+    p = sub.add_parser("synth", help="generate a stereo+RDS IQ test capture")
+    p.add_argument("--out", required=True)
+    p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--left-freq", type=float, default=1000.0)
+    p.add_argument("--right-freq", type=float, default=440.0)
+    p.add_argument("--pi", type=lambda v: int(v, 0), default=0x10F0)
+    p.add_argument("--pty", type=int, default=10)
+    p.add_argument("--station", default="TPU FM")
+    p.add_argument("--radiotext", default="JAX/XLA broadcast FM receiver")
+    p.add_argument("--carrier-offset", type=float, default=0.0)
+    p.add_argument("--noise", type=float, default=0.0)
+
+
+def cmd_rx(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    from . import constants as C
+    from .io.wavio import read_iq_wav, write_wav
+    from .models.receiver import Controls, Receiver, ReceiverConfig
+    from .runtime.stream import run_offline
+    from .rds.blocksync import BlockSynchronizer, Group
+    from .rds.groups import GroupDecoder
+
+    iq, rate = read_iq_wav(args.iq)
+    if rate != C.INPUT_RATE:
+        print(f"warning: capture rate {rate} != {C.INPUT_RATE}; "
+              "proceeding with the contract rate", file=sys.stderr)
+    cfg = ReceiverConfig(
+        block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
+        sound=args.sound, pss_active=not args.no_pss,
+        deemphasis_us=args.deemphasis, audio_filter_hz=args.audio_filter,
+        input_filter=args.input_filter, squelch=args.squelch,
+        rds="block" if args.rds else "off", frontend=args.frontend)
+    rx = Receiver(cfg)
+    balance = args.balance
+    lg = (100 - balance) / 100.0 if balance > 0 else 1.0
+    rg = (100 + balance) / 100.0 if balance < 0 else 1.0
+    controls = Controls(
+        lo_freq_hz=jnp.asarray(args.freq_offset, jnp.int32),
+        volume=jnp.asarray(10.0 ** (args.volume_db / 20.0), jnp.float32),
+        left_gain=jnp.asarray(lg, jnp.float32),
+        right_gain=jnp.asarray(rg, jnp.float32),
+        input_lgain=jnp.asarray(1.0, jnp.float32),
+        input_rgain=jnp.asarray(1.0, jnp.float32),
+        squelch_level=jnp.asarray(args.squelch_level, jnp.float32))
+
+    t0 = time.time()
+    res = run_offline(rx, iq, controls)
+    dt = time.time() - t0
+    n_in = (len(iq) // cfg.block_in) * cfg.block_in
+    rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")
+    print(f"processed {n_in} IQ samples in {dt:.2f}s ({rt:.1f}x real-time)",
+          file=sys.stderr)
+
+    if args.audio:
+        write_wav(args.audio, res.audio, cfg.working_rate,
+                  float32=args.float32)
+        print(f"wrote {args.audio} ({len(res.audio)} frames)", file=sys.stderr)
+
+    report = {
+        "input_samples": int(n_in),
+        "blocks": len(res.meta),
+        "throughput_x_realtime": rt,
+        "meta_last": res.meta[-1] if res.meta else {},
+    }
+    if args.rds and res.rds_bits is not None:
+        sync = BlockSynchronizer()
+        dec = GroupDecoder(pty_locale=args.pty_locale)
+        grp = Group()
+        sync.push_bits(res.rds_bits, grp, on_group=dec.decode)
+        r = dec.result
+        report["rds"] = {
+            "groups_decoded": sync.groups_decoded,
+            "sync_errors": sync.num_sync_errors,
+            "crc_errors": sync.num_crc_errors,
+            "bit_error_rate": sync.bit_error_rate,
+            "pi_code": f"0x{r.pi_code:04X}",
+            "pty": r.pty_text,
+            "station_label": r.station_label,
+            "radio_text": r.radio_text,
+            "af_frequencies_khz": [f / 1000.0 for f in r.af_frequencies],
+            "clock_time": r.clock_time,
+            "group_counts": {str(k): v for k, v in r.group_counts.items()},
+        }
+        print(f"RDS: PI={report['rds']['pi_code']} "
+              f"station={r.station_label!r} text={r.radio_text!r} "
+              f"groups={sync.groups_decoded} BER={sync.bit_error_rate:.4f}",
+              file=sys.stderr)
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {args.report}", file=sys.stderr)
+    else:
+        json.dump(report, sys.stdout, indent=2)
+        print()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import numpy as np
+    from . import constants as C
+    from .io import synth
+    from .io.wavio import write_iq_wav
+    from .rds import encode
+
+    n = int(args.seconds * C.FM_RATE)
+    t = np.arange(n) / C.FM_RATE
+    left = 0.6 * np.sin(2 * np.pi * args.left_freq * t)
+    right = 0.6 * np.sin(2 * np.pi * args.right_freq * t)
+    bits = encode.make_bitstream(pi=args.pi, pty=args.pty,
+                                 station=args.station,
+                                 radiotext=args.radiotext + "\r",
+                                 repeats=max(2, int(args.seconds)))
+    syms = encode.differential_encode(bits)
+    mpx = synth.synth_mpx(left, right, synth.MPXParams(rds_level=0.07),
+                          rds_bits=syms)
+    iq = synth.fm_modulate(mpx, C.FM_RATE,
+                           carrier_offset_hz=args.carrier_offset,
+                           noise_std=args.noise)
+    write_iq_wav(args.out, iq, C.INPUT_RATE)
+    print(f"wrote {args.out}: {len(iq)} IQ samples at {C.INPUT_RATE} S/s",
+          file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sdrjfm_tpu",
+                                 description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _build_rx_parser(sub)
+    _build_synth_parser(sub)
+    args = ap.parse_args(argv)
+    if args.cmd == "rx":
+        return cmd_rx(args)
+    if args.cmd == "synth":
+        return cmd_synth(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Minimal RIFF/WAVE codec (numpy, no external deps).
+
+Plays the role of libsndfile in the reference (devices/filereader/filehulp.cpp
+reads 2-channel IQ wav at 2.304 MS/s; src/output/audiosink.cpp:268-274 dumps
+audio wav).  Supports PCM 8/16/24/32-bit and IEEE float32, mono or stereo.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["WavInfo", "read_wav", "write_wav", "read_iq_wav", "write_iq_wav"]
+
+
+@dataclass
+class WavInfo:
+    rate: int
+    channels: int
+    sampwidth: int            # bytes per sample
+    fmt: int                  # 1 = PCM, 3 = IEEE float
+
+
+def _parse_chunks(buf: bytes):
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def read_wav(path: str):
+    """Returns (data [n, channels] float32 in [-1, 1), WavInfo)."""
+    buf = open(path, "rb").read()
+    fmt = None
+    data = None
+    for cid, off, size in _parse_chunks(buf):
+        if cid == b"fmt ":
+            a_fmt, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", buf[off : off + 16])
+            if a_fmt == 0xFFFE and size >= 40:   # WAVE_FORMAT_EXTENSIBLE
+                a_fmt = struct.unpack("<H", buf[off + 24 : off + 26])[0]
+            fmt = WavInfo(rate=rate, channels=ch, sampwidth=bits // 8, fmt=a_fmt)
+        elif cid == b"data":
+            data = buf[off : off + size]
+    assert fmt is not None and data is not None, "missing fmt/data chunk"
+
+    if fmt.fmt == 3:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif fmt.fmt == 1 and fmt.sampwidth == 2:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif fmt.fmt == 1 and fmt.sampwidth == 4:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif fmt.fmt == 1 and fmt.sampwidth == 1:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif fmt.fmt == 1 and fmt.sampwidth == 3:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | (raw[:, 2].astype(np.int32) << 16))
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        x = v.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported wav format {fmt}")
+    n = (len(x) // fmt.channels) * fmt.channels
+    return x[:n].reshape(-1, fmt.channels), fmt
+
+
+def write_wav(path: str, data: np.ndarray, rate: int, float32: bool = True):
+    """Write [n] or [n, channels] samples; float32 or PCM16."""
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    ch = data.shape[1]
+    if float32:
+        payload = data.astype("<f4").tobytes()
+        fmt_tag, bits = 3, 32
+    else:
+        payload = (np.clip(data, -1.0, 1.0 - 1.0 / 32768)
+                   * 32768.0).astype("<i2").tobytes()
+        fmt_tag, bits = 1, 16
+    block = ch * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, ch, rate,
+                                 rate * block, block, bits)
+    hdr += b"data" + struct.pack("<I", len(payload))
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
+
+
+def read_iq_wav(path: str):
+    """Read a 2-channel IQ capture as complex64 (I=left, Q=right; the
+    reference filereader convention, filehulp.cpp:126-147 — mono files get a
+    zero Q channel).  Returns (iq [n] complex64, rate)."""
+    x, info = read_wav(path)
+    if info.channels == 1:
+        iq = x[:, 0].astype(np.complex64)
+    else:
+        iq = (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
+    return iq, info.rate
+
+
+def write_iq_wav(path: str, iq: np.ndarray, rate: int):
+    write_wav(path, np.stack([iq.real, iq.imag], axis=1), rate, float32=True)

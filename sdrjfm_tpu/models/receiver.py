@@ -1,0 +1,497 @@
+"""The FM receiver — full-chain block pipeline (the framework's flagship model).
+
+Functional equivalent of the reference engine `fmProcessor::run` +
+`process_signal_with_rds` (src/fm/fm-processor.cpp:373-759), re-designed as a
+single jit-compiled block transform:
+
+    state, out = step(state, controls, iq_block)
+
+with `iq_block` one block of 2.304 MS/s complex input and `out` carrying the
+48 kHz stereo audio, RDS bits, and metadata.  Chain layout (rates):
+
+    [2.304M] gains -> DC servo -> LO mix -> (input FFT filter) -> ÷6 -> ÷2
+    [192k]   discriminator -> (squelch) -> pilot recovery -> PSS -> matrix
+             -> RDS tap (57k analytic bandpass, ÷8)
+    [48k]    (audio filter) -> deemphasis -> volume -> ÷4 -> ramp -> peak
+    [24k]    RDS bit recovery (block BPSK)
+
+Every stage is a batched primitive from ops/ with an explicit carry; the
+whole step is shape-static, so it jits once and scans/shards cleanly.
+Controls that the reference adjusts at runtime without rebuilding filters
+(LO frequency for tuning/AFC radio.cpp:1056-1066, volume/balance, squelch
+level, input gains) are traced arguments; everything that reconfigures
+filters (bandwidths, decoder choice, modes) is static config — a rebuild
+here is a recompile, the block-world analogue of the reference's deferred
+filter swaps (fm-processor.cpp:397-413).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..ops import design
+from ..ops import blockops as B
+from ..ops.demod import DemodState, demod_zero_state, demodulate_block
+from ..ops.pilot import (PilotState, make_pilot_config, pilot_zero_state,
+                         recover_pilot)
+from ..ops.pss import PSSState, make_pss_config, pss_adapt, pss_zero_state
+from ..ops.squelch import (SquelchState, make_squelch_config, noise_squelch,
+                           level_squelch, squelch_zero_state)
+from ..rds.bitrecovery import (BitBlock, BitRecoveryState, bit_capacity,
+                               bitrecovery_zero_state, make_bitrecovery_config,
+                               recover_bits)
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    # rate contract (SURVEY.md §0)
+    input_rate: int = C.INPUT_RATE
+    fm_rate: int = C.FM_RATE
+    working_rate: int = C.WORKING_RATE
+    rds_rate: int = C.RDS_RATE
+    # block geometry: fm-rate samples per block (everything else derives)
+    block_fm: int = 131072
+    # algorithm selections (fm-demodulator.cpp nameTable)
+    decoder: str = "complex_baseband"
+    mode: str = "stereo"              # mono | stereo | stereo_pano
+    sound: str = "stereo"             # stereo | stereo_swapped | left | right
+                                      # | left_plus_right | left_minus_right
+    panorama: float = 1.0
+    pss_active: bool = True
+    auto_mono: bool = True
+    deemphasis_us: float = 50.0
+    # optional stages
+    input_filter: bool = False        # the 'strong' 65536-pt channel filter
+    fm_bandwidth_hz: float = 0.95 * C.FM_RATE
+    audio_filter_hz: int = 0          # 0 = off (setlfcutoff)
+    squelch: str = "off"              # off | nsq | lsq
+    rds: str = "block"                # off | block
+    # decimation front-end kernels: 'flat' (default) holds the 0-60 kHz
+    # multiplex within ±0.1 dB; 'reference' reproduces the reference's
+    # 25/3-tap cascade (fm-processor.cpp:68-75), whose ~0.9 droop at 38 kHz
+    # caps stereo separation near 24 dB
+    frontend: str = "flat"
+    # FFT geometry
+    input_fft: int = C.INPUT_FFT_SIZE
+    input_hop: int = 49152
+    fm_fft: int = 8192
+    fm_hop: int = 4096
+    # debug taps in the output (costs bandwidth; for tests/scopes)
+    emit_taps: bool = False
+
+    @property
+    def block_in(self) -> int:
+        return self.block_fm * (self.input_rate // self.fm_rate)
+
+    @property
+    def block_working(self) -> int:
+        return self.block_fm // (self.fm_rate // self.working_rate)
+
+    @property
+    def block_rds(self) -> int:
+        return self.block_fm // (self.fm_rate // self.rds_rate)
+
+
+class Controls(NamedTuple):
+    """Runtime-tunable controls (traced; changing them never recompiles)."""
+    lo_freq_hz: Array         # int32 — tuning offset (set_localOscillator)
+    volume: Array             # f32 — linear volume factor
+    left_gain: Array          # f32 — balance (setSoundBalance)
+    right_gain: Array
+    input_lgain: Array        # f32 — input attenuation (setAttenuation)
+    input_rgain: Array
+    squelch_level: Array      # f32 0..100
+
+
+def default_controls() -> Controls:
+    f = jnp.float32
+    return Controls(jnp.asarray(0, jnp.int32), jnp.asarray(1.0, f),
+                    jnp.asarray(1.0, f), jnp.asarray(1.0, f),
+                    jnp.asarray(1.0, f), jnp.asarray(1.0, f),
+                    jnp.asarray(0.0, f))
+
+
+class Meta(NamedTuple):
+    """Per-block metadata (the SMetaData equivalent, fm-processor.h:91-101)."""
+    pilot_locked: Array
+    pilot_strength: Array
+    dc_rf_db: Array
+    dc_if: Array
+    pss_phase_deg: Array
+    pss_established: Array
+    peak_left_db: Array
+    peak_right_db: Array
+
+
+class Output(NamedTuple):
+    audio: Array              # [block_working, 2] float32
+    meta: Meta
+    rds: Optional[BitBlock]
+    taps: Optional[dict]
+
+
+class ReceiverState(NamedTuple):
+    n0_mod: Array
+    rf_dc: Array
+    input_filt: Optional[Array]
+    band1: Array
+    band2: Array
+    demod: DemodState
+    squelch: Optional[SquelchState]
+    pilot: PilotState
+    pss: PSSState
+    phase_delay: Array        # pilot-phase delay line for the RDS mix
+    rds57_filt: Optional[Array]
+    rds_decim: Optional[Array]
+    bitrec: Optional[BitRecoveryState]
+    audio_filt: Optional[Array]
+    deemph: Array
+    audio_decim: Array
+    ramp_remaining: Array
+
+
+class Receiver:
+    """Builds the frozen design constants and exposes init_state/step."""
+
+    def __init__(self, cfg: ReceiverConfig):
+        self.cfg = cfg
+        fs_in, fs_fm = cfg.input_rate, cfg.fm_rate
+        decim1 = fs_in // (fs_in // 6)    # noqa: F841  (kept for clarity)
+        # decimation cascade kernels (fm-processor.cpp:68-75: 25 taps at the
+        # input rate cutting at fmRate/2, then 3 taps at IRate)
+        if cfg.frontend == "reference":
+            self.k_band1 = design.lowpass_sinc(4 * 6 + 1, fs_fm / 2, fs_in
+                                               ).astype(np.float32)
+            self.k_band2 = design.lowpass_sinc(2 + 1, fs_fm / 2, fs_in / 6
+                                               ).astype(np.float32)
+        else:
+            self.k_band1 = design.lowpass_sinc(127, 110000.0, fs_in
+                                               ).astype(np.float32)
+            self.k_band2 = design.lowpass_sinc(31, 110000.0, fs_in / 6
+                                               ).astype(np.float32)
+        # strong input filter (inputFilter 65536/251, fm-processor.cpp:77,148)
+        k_in = design.lowpass_sinc(C.INPUT_FILTER_DEGREE,
+                                   cfg.fm_bandwidth_hz / 2, fs_in)
+        self.H_input = design.fft_filter_response(
+            k_in, cfg.input_fft).astype(np.complex64)
+        # pilot + PSS + squelch + RDS designs
+        self.pilot_cfg = make_pilot_config(fs_fm, cfg.fm_fft)
+        self.pss_cfg = make_pss_config(fs_fm)
+        self.squelch_cfg = (make_squelch_config(fs_fm)
+                            if cfg.squelch != "off" else None)
+        # RDS tap: one-sided 57 kHz bandpass == reference's real bandpass +
+        # Hilbert chain (fm-processor.cpp:83-86,741-754) fused into a single
+        # complex kernel; odd length for an integer group delay.
+        rds_taps = C.PILOTFILTER_SIZE + 1          # 769
+        k57 = design.bandpass_complex(
+            rds_taps, C.RDS_FREQUENCY - C.RDS_WIDTH / 2,
+            C.RDS_FREQUENCY + C.RDS_WIDTH / 2, fs_fm)
+        self.H_rds57 = design.fft_filter_response(
+            k57, cfg.fm_fft).astype(np.complex64)
+        self.rds_delay = (rds_taps - 1) // 2
+        self.k_rds_decim = design.lowpass_sinc(
+            C.RDS_DECIM_TAPS, cfg.rds_rate / 2, fs_fm).astype(np.float32)
+        self.bitrec_cfg = make_bitrecovery_config(cfg.rds_rate)
+        # audio lowpass (fmAudioFilter 8192/756) + deemphasis + ÷4
+        if cfg.audio_filter_hz > 0:
+            k_af = design.lowpass_sinc(C.AUDIO_FILTER_DEGREE,
+                                       cfg.audio_filter_hz, fs_fm)
+            self.H_audio = design.fft_filter_response(
+                k_af, cfg.fm_fft).astype(np.complex64)
+        else:
+            self.H_audio = None
+        self.deemph_alpha = C.deemphasis_alpha(cfg.deemphasis_us, fs_fm)
+        self.k_audio_decim = design.polyphase_resampler_kernel(
+            fs_fm // cfg.working_rate).astype(np.float32)
+        self._validate()
+
+    def _validate(self):
+        cfg = self.cfg
+        assert cfg.block_fm % cfg.fm_hop == 0
+        assert cfg.block_fm % self.pss_cfg.subblock == 0
+        assert cfg.block_in % cfg.input_hop == 0
+        assert cfg.block_rds % 2048 == 0
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> ReceiverState:
+        cfg = self.cfg
+        cplx = jnp.complex64
+        return ReceiverState(
+            n0_mod=jnp.asarray(0, jnp.int32),
+            rf_dc=jnp.asarray(0.0 + 0.0j, cplx),
+            input_filt=(B.fft_filter_zero_state(cfg.input_fft, cfg.input_hop)
+                        if cfg.input_filter else None),
+            band1=B.fir_zero_state(len(self.k_band1)),
+            band2=B.fir_zero_state(len(self.k_band2)),
+            demod=demod_zero_state(),
+            squelch=(squelch_zero_state(self.squelch_cfg)
+                     if self.squelch_cfg else None),
+            pilot=pilot_zero_state(self.pilot_cfg),
+            pss=pss_zero_state(self.pss_cfg),
+            phase_delay=jnp.zeros(self.rds_delay, jnp.float32),
+            rds57_filt=(B.fft_filter_zero_state(cfg.fm_fft, cfg.fm_hop)
+                        if cfg.rds != "off" else None),
+            rds_decim=(B.fir_zero_state(len(self.k_rds_decim))
+                       if cfg.rds != "off" else None),
+            bitrec=(bitrecovery_zero_state(self.bitrec_cfg)
+                    if cfg.rds == "block" else None),
+            audio_filt=(B.fft_filter_zero_state(cfg.fm_fft, cfg.fm_hop)
+                        if self.H_audio is not None else None),
+            deemph=jnp.asarray(0.0 + 0.0j, cplx),
+            audio_decim=B.fir_zero_state(len(self.k_audio_decim)),
+            ramp_remaining=jnp.asarray(cfg.working_rate // 2, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # Front end: 2.304 MS/s -> 192 kS/s.  This is the shardable heavy part;
+    # `shard_axis` selects between the single-device path (carries from
+    # state) and the shard_map path (left halos from the ring neighbour via
+    # ppermute; device 0 uses the carried state).  Both paths compute
+    # identical per-sample values, so N-way output stitches bit-exactly.
+    # ------------------------------------------------------------------
+    DC_SUBSAMPLE = 64
+
+    def front_end(self, state: ReceiverState, controls: Controls,
+                  iq: Array, shard_axis: Optional[str] = None):
+        cfg = self.cfg
+
+        def left_halo(x_local, carry, axis):
+            """Tail of the left ring neighbour; device 0 takes the stream
+            carry.  (ppermute leaves non-receiving devices with zeros.)"""
+            n = jax.lax.axis_size(axis)
+            tail = x_local[-carry.shape[0]:]
+            left = jax.lax.ppermute(tail, axis,
+                                    perm=[(i, i + 1) for i in range(n - 1)])
+            idx = jax.lax.axis_index(axis)
+            return jnp.where(idx == 0, carry, left)
+
+        # --- input gains (setAttenuation, fm-processor.cpp:462-464) ---------
+        x = jax.lax.complex(jnp.real(iq) * controls.input_lgain,
+                            jnp.imag(iq) * controls.input_rgain)
+
+        # --- DC servo (fm-processor.cpp:423-446).  Redesigned block-level:
+        # the tracker's time constant is 1 s (alpha = 1/inputRate), so the
+        # correction is held constant within a block and the estimate is
+        # updated once per block from a 1/64 stride subsample — same servo
+        # semantics without a 2.3M-point recurrence in the hot path.
+        corr = jax.lax.complex(
+            jnp.clip(jnp.real(state.rf_dc), -C.RF_DC_LIMIT, C.RF_DC_LIMIT),
+            jnp.clip(jnp.imag(state.rf_dc), -C.RF_DC_LIMIT, C.RF_DC_LIMIT))
+        sub = x[:: self.DC_SUBSAMPLE]
+        if shard_axis is not None:
+            sub = jax.lax.all_gather(sub, shard_axis, tiled=True)
+        g_blk = float((1.0 - C.RF_DC_ALPHA) ** cfg.block_in)
+        dc_last = g_blk * state.rf_dc + (1.0 - g_blk) * jnp.mean(sub)
+        x = x - corr
+
+        # --- LO mix (tuning + AFC, radio.cpp:1056-1066) ---------------------
+        if shard_axis is None:
+            n0_local = state.n0_mod
+        else:
+            t_local = x.shape[0]
+            n0_local = (state.n0_mod
+                        + jax.lax.axis_index(shard_axis).astype(jnp.int32)
+                        * (t_local % cfg.input_rate)) % cfg.input_rate
+        x = B.mix_lo(x, controls.lo_freq_hz, cfg.input_rate, n0_local)
+
+        # --- optional strong input filter -----------------------------------
+        if cfg.input_filter:
+            carry = (state.input_filt if shard_axis is None
+                     else left_halo(x, state.input_filt, shard_axis))
+            x, input_tail = B.fft_filter_apply(
+                x, jnp.asarray(self.H_input), cfg.input_hop, carry)
+        else:
+            input_tail = None
+
+        # --- decimation cascade ÷6 ÷2 ---------------------------------------
+        c1 = (state.band1 if shard_axis is None
+              else left_halo(x, state.band1, shard_axis))
+        x, tail1 = B.fir_decimate(x, jnp.asarray(self.k_band1), 6, c1)
+        c2 = (state.band2 if shard_axis is None
+              else left_halo(x, state.band2, shard_axis))
+        v, tail2 = B.fir_decimate(x, jnp.asarray(self.k_band2), 2, c2)
+        return v, (dc_last, input_tail, tail1, tail2)
+
+    # ------------------------------------------------------------------
+    def step(self, state: ReceiverState, controls: Controls,
+             iq: Array) -> Tuple[ReceiverState, Output]:
+        cfg = self.cfg
+        T_in = cfg.block_in
+        assert iq.shape == (T_in,), (iq.shape, T_in)
+
+        v, (dc_last, input_tail, tail1, tail2) = self.front_end(
+            state, controls, iq)
+        n0_mod = (state.n0_mod + T_in) % cfg.input_rate
+        fe_updates = dict(
+            n0_mod=n0_mod, rf_dc=dc_last,
+            input_filt=input_tail if cfg.input_filter else None,
+            band1=tail1, band2=tail2)
+        return self.fm_chain(state, controls, v, fe_updates)
+
+    # ------------------------------------------------------------------
+    # fm chain: 192 kS/s -> audio + RDS.  1/12 of the input rate; in the
+    # sharded step this part runs replicated (its sequential glue — PSS,
+    # bit timing — is inherently stream-ordered; see parallel/sharding.py).
+    # ------------------------------------------------------------------
+    def fm_chain(self, state: ReceiverState, controls: Controls, v: Array,
+                 fe_updates: dict) -> Tuple[ReceiverState, Output]:
+        cfg = self.cfg
+        taps = {} if cfg.emit_taps else None
+        if taps is not None:
+            taps["if_filtered"] = v
+
+        # --- discriminator ---------------------------------------------------
+        demod, demod_state, carrier = demodulate_block(
+            v, state.demod, cfg.decoder, cfg.fm_rate)
+        if taps is not None:
+            taps["demod"] = demod
+
+        # --- squelch ---------------------------------------------------------
+        squelch_state = state.squelch
+        if cfg.squelch == "nsq":
+            demod, squelch_state = noise_squelch(
+                demod, controls.squelch_level, self.squelch_cfg, squelch_state)
+        elif cfg.squelch == "lsq":
+            demod, squelch_state = level_squelch(
+                demod, carrier, controls.squelch_level, self.squelch_cfg,
+                squelch_state)
+
+        # --- pilot recovery --------------------------------------------------
+        pblock, pilot_state = recover_pilot(demod, self.pilot_cfg, state.pilot)
+        base_phase = 2.0 * (pblock.phase + jnp.pi / 4.0)
+
+        # --- PSS -------------------------------------------------------------
+        pss_off, pss_state = pss_adapt(
+            demod, base_phase, pblock.locked, self.pss_cfg, state.pss,
+            active=(cfg.pss_active and cfg.mode != "mono"))
+
+        # --- stereo matrix (process_signal_with_rds fm-processor.cpp:704-727,
+        # matrix :517-549) ----------------------------------------------------
+        lr_sum = demod
+        if cfg.mode == "mono":
+            stereo_gate = jnp.zeros_like(demod, dtype=bool)
+        elif cfg.auto_mono:
+            stereo_gate = pblock.locked
+        else:
+            stereo_gate = jnp.ones_like(demod, dtype=bool)
+        carrier_phase = base_phase - pss_off
+        use_sin = cfg.sound == "left_minus_right_test"
+        osc = jnp.sin(carrier_phase) if use_sin else jnp.cos(carrier_phase)
+        lr_diff = jnp.where(stereo_gate, 2.0 * osc * demod, 0.0)
+        if cfg.mode == "stereo_pano":
+            lr_diff = lr_diff * cfg.panorama
+        left = lr_sum + lr_diff
+        right = lr_sum - lr_diff
+        sound = cfg.sound
+        if sound == "stereo":
+            audio = jax.lax.complex(left, right)
+        elif sound == "stereo_swapped":
+            audio = jax.lax.complex(right, left)
+        elif sound == "left":
+            audio = jax.lax.complex(left, left)
+        elif sound == "right":
+            audio = jax.lax.complex(right, right)
+        elif sound == "left_plus_right":
+            audio = jax.lax.complex(lr_sum, lr_sum)
+        elif sound in ("left_minus_right", "left_minus_right_test"):
+            audio = jax.lax.complex(lr_diff, lr_diff)
+        else:
+            raise ValueError(f"unknown sound selector {sound!r}")
+
+        # --- RDS tap ---------------------------------------------------------
+        rds_out = None
+        rds57_filt, rds_decim_c, bitrec_state = (state.rds57_filt,
+                                                 state.rds_decim, state.bitrec)
+        if cfg.rds != "off":
+            rds_base, rds57_filt = B.fft_filter_apply(
+                demod.astype(jnp.complex64), jnp.asarray(self.H_rds57),
+                cfg.fm_hop, state.rds57_filt)
+            # the analytic 57k signal at n carries the input of time n-D; mix
+            # with the pilot phase of the same instant (the reference keeps a
+            # RDS_SAMPLE_DELAY-deep phase buffer for this, fm-processor.cpp:
+            # 733-746; our delay is the kernel group delay)
+            phase_del, phase_delay = B.delay_apply(pblock.phase,
+                                                   state.phase_delay)
+            the_phase = 3.0 * phase_del
+            mixer = jax.lax.complex(jnp.cos(the_phase), -jnp.sin(the_phase))
+            rds_bb = rds_base * mixer
+            z24, rds_decim_c = B.fir_decimate(
+                rds_bb, jnp.asarray(self.k_rds_decim), 8, state.rds_decim)
+            if taps is not None:
+                taps["rds_baseband"] = z24
+            if cfg.rds == "block":
+                rds_out, bitrec_state = recover_bits(
+                    z24, self.bitrec_cfg, state.bitrec)
+        else:
+            phase_delay = state.phase_delay
+
+        # --- audio filter + deemphasis (fm-processor.cpp:589-595) ------------
+        audio_filt = state.audio_filt
+        if self.H_audio is not None:
+            audio, audio_filt = B.fft_filter_apply(
+                audio, jnp.asarray(self.H_audio), cfg.fm_hop, state.audio_filt)
+        audio, deemph_last = B.ema_apply(audio, self.deemph_alpha, state.deemph)
+
+        # --- volume / balance (audioGainCorrection :303-336) -----------------
+        audio = jax.lax.complex(
+            jnp.real(audio) * controls.volume * controls.left_gain,
+            jnp.imag(audio) * controls.volume * controls.right_gain)
+
+        # --- ÷4 to workingRate ----------------------------------------------
+        pcm, audio_decim = B.fir_decimate(
+            audio, jnp.asarray(self.k_audio_decim),
+            cfg.fm_rate // cfg.working_rate, state.audio_decim)
+
+        # --- startup/retune ramp (fm-processor.cpp:130-131,638-642) ----------
+        Tw = cfg.block_working
+        ramp_max = cfg.working_rate // 2
+        pos = ramp_max - state.ramp_remaining
+        gain = jnp.clip((pos + jnp.arange(Tw, dtype=jnp.float32)) / ramp_max,
+                        0.0, 1.0)
+        pcm = pcm * gain
+        ramp_remaining = jnp.maximum(state.ramp_remaining - Tw, 0)
+
+        # --- peak meter (evaluatePeakLevel :772-798) -------------------------
+        peak_l = jnp.max(jnp.abs(jnp.real(pcm)))
+        peak_r = jnp.max(jnp.abs(jnp.imag(pcm)))
+        to_db = lambda p: jnp.where(p > 0, 20.0 * jnp.log10(jnp.maximum(p, 1e-10)),
+                                    -40.0)
+
+        meta = Meta(
+            pilot_locked=pblock.locked[-1],
+            pilot_strength=pblock.strength[-1],
+            dc_rf_db=20.0 * jnp.log10(jnp.abs(fe_updates["rf_dc"]) + 1.0 / 32768.0),
+            dc_if=demod_state.fm_afc,
+            pss_phase_deg=pss_off[-1] / jnp.pi * 180.0,
+            pss_established=pss_state.minimized,
+            peak_left_db=to_db(peak_l),
+            peak_right_db=to_db(peak_r),
+        )
+
+        new_state = ReceiverState(
+            n0_mod=fe_updates["n0_mod"], rf_dc=fe_updates["rf_dc"],
+            input_filt=fe_updates["input_filt"],
+            band1=fe_updates["band1"], band2=fe_updates["band2"],
+            demod=demod_state,
+            squelch=squelch_state, pilot=pilot_state, pss=pss_state,
+            phase_delay=phase_delay, rds57_filt=rds57_filt,
+            rds_decim=rds_decim_c, bitrec=bitrec_state,
+            audio_filt=audio_filt, deemph=deemph_last,
+            audio_decim=audio_decim, ramp_remaining=ramp_remaining)
+
+        out = Output(
+            audio=jnp.stack([jnp.real(pcm), jnp.imag(pcm)], axis=-1),
+            meta=meta, rds=rds_out, taps=taps)
+        return new_state, out
+
+    # ------------------------------------------------------------------
+    def jit_step(self):
+        return jax.jit(self.step)

@@ -1,0 +1,121 @@
+"""Noise and level squelch (src/various/squelchClass.cpp re-designed in blocks).
+
+Noise squelch: compare decaying-average band energies of a Chebyshev highpass
+above key-100 Hz vs lowpass below key (key = 70 kHz at fmRate,
+fm-processor.cpp:87); decisions latch with hysteresis every holdPeriod
+(= fmRate/20) samples (squelchClass.cpp:9-78).  Level squelch gates on the
+demodulator's tracked carrier amplitude against 10^((n-80)/30)
+(squelchClass.cpp:94-104).
+
+Block shape: the IIR band filters and the decaying averages are parallel
+scans; the 20 Hz decision lattice is a tiny `lax.scan` over hold periods.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from . import design
+from .blockops import IIRSpec, ema_apply, iir_apply
+
+Array = jax.Array
+
+HYSTERESIS_NSQ = 0.001
+
+
+class SquelchConfig(NamedTuple):
+    hp: IIRSpec
+    lp: IIRSpec
+    hold_period: int
+    rate: int
+
+
+def make_squelch_config(rate: int = C.FM_RATE, key_freq: int = 70000,
+                        order: int = 20) -> SquelchConfig:
+    """Order-20 Chebyshev pair as the reference constructs (squelchClass.cpp:
+    36-46); cheby1 with 1 dB ripple mirrors its S_CHEBYSHEV design."""
+    hp = IIRSpec(design.cheby1_sos(order // 2, key_freq - 100, rate, "highpass"))
+    lp = IIRSpec(design.cheby1_sos(order // 2, min(key_freq, int(0.49 * rate)),
+                                   rate, "lowpass"))
+    return SquelchConfig(hp=hp, lp=lp, hold_period=rate // 20, rate=rate)
+
+
+class SquelchState(NamedTuple):
+    hp_state: tuple
+    lp_state: tuple
+    avg_high: Array
+    avg_low: Array
+    suppress: Array           # latched decision
+    phase: Array              # samples into the current hold period
+
+
+def squelch_zero_state(cfg: SquelchConfig) -> SquelchState:
+    return SquelchState(
+        hp_state=cfg.hp.zero_state(), lp_state=cfg.lp.zero_state(),
+        avg_high=jnp.asarray(0.0, jnp.float32),
+        avg_low=jnp.asarray(0.0, jnp.float32),
+        suppress=jnp.asarray(False), phase=jnp.asarray(0, jnp.int32))
+
+
+def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
+                  state: SquelchState) -> Tuple[Array, SquelchState]:
+    """Apply noise squelch to a demod block.
+
+    level : traced scalar 0..100 (slider); threshold = 1 - level/100.
+    Decision timing uses a fixed per-block lattice (hold periods aligned to
+    the block, T % hold == 0) — equivalent cadence to the reference's free-
+    running counter.
+    """
+    T = x.shape[0]
+    H = cfg.hold_period
+    assert T % H == 0
+    nper = T // H
+    thr = 1.0 - jnp.asarray(level, jnp.float32) / 100.0
+
+    v1, hp_state = iir_apply(x, cfg.hp, state.hp_state)
+    v2, lp_state = iir_apply(x, cfg.lp, state.lp_state)
+    w = 1.0 / (cfg.rate / 100.0)        # decayingAverage weight
+    ah, ah_last = ema_apply(jnp.abs(v1), w, state.avg_high)
+    al, al_last = ema_apply(jnp.abs(v2), w, state.avg_low)
+
+    # decision at the end of each hold period
+    ah_p = ah.reshape(nper, H)[:, -1]
+    al_p = al.reshape(nper, H)[:, -1]
+
+    def decide(sup, inp):
+        a_h, a_l = inp
+        open_ = a_h < a_l * thr - HYSTERESIS_NSQ
+        close = a_h >= a_l * thr + HYSTERESIS_NSQ
+        sup = jnp.where(thr < HYSTERESIS_NSQ, True,
+                        jnp.where(open_, False, jnp.where(close, True, sup)))
+        return sup, sup
+
+    sup_last, sup_seq = jax.lax.scan(decide, state.suppress, (ah_p, al_p))
+    gate = jnp.repeat(~sup_seq, H).astype(x.dtype)
+    new = SquelchState(hp_state=hp_state, lp_state=lp_state, avg_high=ah_last,
+                       avg_low=al_last, suppress=sup_last, phase=state.phase)
+    return x * gate, new
+
+
+def level_squelch(x: Array, carrier: Array, level: Array, cfg: SquelchConfig,
+                  state: SquelchState) -> Tuple[Array, SquelchState]:
+    """Level squelch on the tracked carrier amplitude [T]."""
+    T = x.shape[0]
+    H = cfg.hold_period
+    nper = T // H
+    thr = jnp.power(10.0, (jnp.asarray(level, jnp.float32) - 80.0) / 30.0)
+    c_p = carrier.reshape(nper, H)[:, -1]
+
+    def decide(sup, c):
+        sup = jnp.where(c < thr, True, jnp.where(c >= thr, False, sup))
+        return sup, sup
+
+    sup_last, sup_seq = jax.lax.scan(decide, state.suppress, c_p)
+    gate = jnp.repeat(~sup_seq, H).astype(x.dtype)
+    new = state._replace(suppress=sup_last)
+    return x * gate, new

@@ -1,0 +1,105 @@
+"""Multi-chip sharding of the receive chain over a jax.sharding.Mesh.
+
+The reference's only concurrency is thread-pipeline-over-ring-buffers on one
+host (SURVEY.md §2.6).  The TPU framework's scaling model is *data
+parallelism over time*:
+
+  - the 2.304 MS/s front end (gains, DC servo, LO mix, optional 65536-pt
+    channel filter, ÷12 decimation cascade) runs inside `shard_map` with the
+    input block laid out over the mesh's `time` axis.  Convolution left-halos
+    travel over ICI via `ppermute` from the ring neighbour; device 0 uses the
+    inter-block carry.  The per-block DC estimate uses a strided subsample
+    `all_gather`ed and reduced identically on every device, so the update is
+    bit-exact regardless of device count.
+  - the 192 kS/s fm chain (discriminator, pilot, PSS, matrix, RDS, audio) is
+    replicated: its inputs are 12x smaller than the input stream and its
+    sequential glue (PSS sub-block scan, RDS bit grid) is inherently
+    stream-ordered.  Sharding it further (fm-rate conv halos + carry
+    composition for the linear recurrences) is the planned next scaling step.
+
+Because the sharded front end computes exactly the same per-sample values as
+the single-device path (same convolution shapes per output, same constant DC
+correction, LO phase a pure function of the global sample index), the N-way
+step is bit-exact vs the 1-chip step — asserted by tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.receiver import Controls, Receiver, ReceiverState
+
+AXIS = "time"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+class ShardedReceiver:
+    """Receiver step partitioned over a 1-D time mesh."""
+
+    def __init__(self, rx: Receiver, mesh: Mesh, axis: str = AXIS):
+        self.rx = rx
+        self.mesh = mesh
+        self.axis = axis
+        n = int(mesh.devices.size)
+        cfg = rx.cfg
+        t_local = cfg.block_in // n
+        assert cfg.block_in % n == 0
+        assert t_local % 12 == 0 and t_local % rx.DC_SUBSAMPLE == 0
+        if cfg.input_filter:
+            assert t_local % cfg.input_hop == 0, (t_local, cfg.input_hop)
+        self.iq_sharding = NamedSharding(mesh, P(axis))
+        self.replicated = NamedSharding(mesh, P())
+
+        import inspect
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        params = inspect.signature(shard_map).parameters
+        _relax = ({"check_vma": False} if "check_vma" in params
+                  else {"check_rep": False})
+
+        def front(state, controls, iq_local):
+            v_local, (dc, in_tail, t1, t2) = rx.front_end(
+                state, controls, iq_local, shard_axis=axis)
+            tails = tuple(t[None] if t is not None else None
+                          for t in (in_tail, t1, t2))
+            return v_local, dc, tails
+
+        self._front = shard_map(
+            front, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=(P(axis), P(), P(axis)),
+            **_relax)
+
+        def step(state: ReceiverState, controls: Controls, iq):
+            v, dc_last, (in_tails, tails1, tails2) = self._front(
+                state, controls, iq)
+            v = jax.lax.with_sharding_constraint(v, self.replicated)
+            fe_updates = dict(
+                n0_mod=(state.n0_mod + cfg.block_in) % cfg.input_rate,
+                rf_dc=dc_last,
+                input_filt=(in_tails[-1] if cfg.input_filter else None),
+                band1=tails1[-1], band2=tails2[-1])
+            return rx.fm_chain(state, controls, v, fe_updates)
+
+        self._step = jax.jit(step, in_shardings=(None, None, self.iq_sharding))
+
+    def init_state(self) -> ReceiverState:
+        return jax.device_put(self.rx.init_state(), self.replicated)
+
+    def step(self, state: ReceiverState, controls: Controls, iq):
+        iq = jax.device_put(iq, self.iq_sharding)
+        return self._step(state, controls, iq)

@@ -1,0 +1,71 @@
+"""Offline/streaming drivers for the block receiver.
+
+The reference's engine thread pulls 16384-sample chunks from the device ring
+buffer (fm-processor.cpp:387-417); here the equivalent is a host loop (or a
+`lax.scan` over a pre-staged array) feeding fixed-size blocks through the
+jitted step and collecting outputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.receiver import Controls, Output, Receiver, default_controls
+
+
+@dataclass
+class StreamResult:
+    audio: np.ndarray                 # [n, 2] float32 at working rate
+    meta: List[dict] = field(default_factory=list)
+    rds_bits: Optional[np.ndarray] = None
+    rds_iq: Optional[np.ndarray] = None
+    taps: dict = field(default_factory=dict)
+
+
+def run_offline(rx: Receiver, iq: np.ndarray,
+                controls: Optional[Controls] = None,
+                drop_blocks: int = 0,
+                collect_taps: bool = False) -> StreamResult:
+    """Process a full IQ array through the receiver, block by block.
+
+    drop_blocks: number of leading blocks to exclude from the result (filter
+    warm-up), while still advancing state through them.
+    """
+    cfg = rx.cfg
+    controls = controls or default_controls()
+    T = cfg.block_in
+    nblocks = len(iq) // T
+    assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
+    step = rx.jit_step()
+    state = rx.init_state()
+
+    audio, metas, bits, biq = [], [], [], []
+    tap_acc: dict = {}
+    for b in range(nblocks):
+        blk = jnp.asarray(iq[b * T : (b + 1) * T], jnp.complex64)
+        state, out = step(state, controls, blk)
+        if b < drop_blocks:
+            continue
+        audio.append(np.asarray(out.audio))
+        metas.append({k: np.asarray(v).item()
+                      for k, v in out.meta._asdict().items()})
+        if out.rds is not None:
+            n = int(out.rds.count)
+            bits.append(np.asarray(out.rds.bits)[:n])
+            biq.append(np.asarray(out.rds.iq)[:n])
+        if collect_taps and out.taps:
+            for k, v in out.taps.items():
+                tap_acc.setdefault(k, []).append(np.asarray(v))
+
+    res = StreamResult(audio=np.concatenate(audio, axis=0), meta=metas)
+    if bits:
+        res.rds_bits = np.concatenate(bits)
+        res.rds_iq = np.concatenate(biq)
+    if tap_acc:
+        res.taps = {k: np.concatenate(v) for k, v in tap_acc.items()}
+    return res

@@ -1,0 +1,77 @@
+"""Host-side RDS stack: CRC/syndrome, Meggitt FEC, block sync, group decode."""
+
+import numpy as np
+
+from sdrjfm_tpu.rds import crc, encode
+from sdrjfm_tpu.rds.blocksync import BlockSynchronizer, Group
+from sdrjfm_tpu.rds.groups import GroupDecoder
+
+
+class TestCRC:
+    def test_encode_block_zero_syndrome(self):
+        for name in crc.OFFSET_WORDS:
+            for info in (0x0000, 0x1234, 0xFFFF, 0xA5A5):
+                blk = crc.encode_block(info, name)
+                assert crc.syndrome(blk, crc.OFFSET_WORDS[name]) == 0
+                assert (blk >> 10) == info
+
+    def test_single_bit_error_detected_and_corrected(self):
+        blk = crc.encode_block(0xBEEF, "B")
+        for pos in range(10, 26):        # payload bits
+            bad = blk ^ (1 << pos)
+            s = crc.syndrome(bad, crc.OFFSET_WORDS["B"])
+            assert s != 0
+            fixed, resid, n = crc.meggitt_correct(bad, s)
+            assert resid == 0 and n == 1 and fixed == blk
+
+    def test_burst_error_corrected(self):
+        blk = crc.encode_block(0xCAFE, "D")
+        bad = blk ^ (0b11111 << 15)      # 5-bit burst in the payload
+        s = crc.syndrome(bad, crc.OFFSET_WORDS["D"])
+        fixed, resid, n = crc.meggitt_correct(bad, s)
+        assert resid == 0 and fixed == blk
+
+
+class TestBlockSyncAndGroups:
+    def _decode(self, bits, offset=0, flips=()):
+        bits = np.asarray(bits, np.int8).copy()
+        for f in flips:
+            bits[f] ^= 1
+        sync = BlockSynchronizer()
+        dec = GroupDecoder()
+        grp = Group()
+        sync.push_bits(bits[offset:], grp, on_group=dec.decode)
+        return sync, dec.result
+
+    def test_clean_stream_decodes_station_and_text(self):
+        bits = encode.make_bitstream(pi=0x10F0, pty=10, station="TPU FM  ",
+                                     radiotext="HELLO FROM JAX\r")
+        sync, res = self._decode(bits)
+        assert sync.groups_decoded > 50
+        assert res.pi_code == 0x10F0
+        assert res.pty_code == 10
+        assert res.station_label == "TPU FM  "
+        assert res.radio_text == "HELLO FROM JAX"
+        assert sync.bit_error_rate == 0.0
+
+    def test_stream_with_arbitrary_bit_offset(self):
+        bits = encode.make_bitstream()
+        sync, res = self._decode(bits, offset=17)
+        assert sync.groups_decoded > 50
+        assert res.station_label == "TPU FM  "
+
+    def test_isolated_bit_errors_are_fec_corrected(self):
+        bits = encode.make_bitstream()
+        # flip isolated payload bits well after sync acquisition
+        flips = [1200, 2600, 4200]
+        sync, res = self._decode(bits, flips=flips)
+        assert res.station_label == "TPU FM  "
+        assert sync.groups_decoded > 40
+
+    def test_differential_roundtrip(self):
+        rng = np.random.default_rng(3)
+        data = (rng.random(500) > 0.5).astype(np.int8)
+        sym = encode.differential_encode(data, initial=1)
+        prev = np.concatenate([[1], sym[:-1]])
+        back = sym ^ prev
+        np.testing.assert_array_equal(back, data)
