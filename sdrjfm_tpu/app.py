@@ -36,6 +36,10 @@ def _build_rx_parser(sub):
                             "real_baseband", "difference"])
     p.add_argument("--sound", default="stereo")
     p.add_argument("--rds", action="store_true", help="decode RDS")
+    p.add_argument("--rds-decoder", default="block",
+                   choices=["block", "scan1", "scan2", "scan3"],
+                   help="bit decoder: TPU-native block or the reference's "
+                        "per-sample algorithms")
     p.add_argument("--no-pss", action="store_true")
     p.add_argument("--deemphasis", type=float, default=50.0,
                    help="deemphasis time constant in us (50 EU / 75 US)")
@@ -87,7 +91,8 @@ def cmd_rx(args) -> int:
         sound=args.sound, pss_active=not args.no_pss,
         deemphasis_us=args.deemphasis, audio_filter_hz=args.audio_filter,
         input_filter=args.input_filter, squelch=args.squelch,
-        rds="block" if args.rds else "off", frontend=args.frontend)
+        rds=args.rds_decoder if args.rds else "off",
+        frontend=args.frontend)
     rx = Receiver(cfg)
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0

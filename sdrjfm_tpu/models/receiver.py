@@ -56,6 +56,7 @@ class ReceiverConfig:
     input_rate: int = C.INPUT_RATE
     fm_rate: int = C.FM_RATE
     working_rate: int = C.WORKING_RATE
+    audio_rate: int = C.WORKING_RATE  # 192000 with the reference's -m flag
     rds_rate: int = C.RDS_RATE
     # block geometry: fm-rate samples per block (everything else derives)
     block_fm: int = 131072
@@ -73,7 +74,9 @@ class ReceiverConfig:
     fm_bandwidth_hz: float = 0.95 * C.FM_RATE
     audio_filter_hz: int = 0          # 0 = off (setlfcutoff)
     squelch: str = "off"              # off | nsq | lsq
-    rds: str = "block"                # off | block
+    rds: str = "block"                # off | block | scan1 | scan2 | scan3
+                                      # (block = TPU-native; scanN = the
+                                      # reference's per-sample decoders)
     # decimation front-end kernels: 'flat' (default) holds the 0-60 kHz
     # multiplex within ±0.1 dB; 'reference' reproduces the reference's
     # 25/3-tap cascade (fm-processor.cpp:68-75), whose ~0.9 droop at 38 kHz
@@ -84,6 +87,8 @@ class ReceiverConfig:
     input_hop: int = 49152
     fm_fft: int = 8192
     fm_hop: int = 4096
+    # 1 kHz / 25 ms / 2 s test-tone injector (fm-processor.cpp:800-823)
+    test_tone: bool = False
     # debug taps in the output (costs bandwidth; for tests/scopes)
     emit_taps: bool = False
 
@@ -94,6 +99,10 @@ class ReceiverConfig:
     @property
     def block_working(self) -> int:
         return self.block_fm // (self.fm_rate // self.working_rate)
+
+    @property
+    def block_audio(self) -> int:
+        return self.block_working * (self.audio_rate // self.working_rate)
 
     @property
     def block_rds(self) -> int:
@@ -151,11 +160,13 @@ class ReceiverState(NamedTuple):
     phase_delay: Array        # pilot-phase delay line for the RDS mix
     rds57_filt: Optional[Array]
     rds_decim: Optional[Array]
-    bitrec: Optional[BitRecoveryState]
+    bitrec: Optional[object]  # BitRecoveryState or scan-decoder state
     audio_filt: Optional[Array]
     deemph: Array
     audio_decim: Array
     ramp_remaining: Array
+    audio_up: Optional[Array]
+    tone_index: Array         # global output index mod the tone period
 
 
 class Receiver:
@@ -200,6 +211,17 @@ class Receiver:
         self.k_rds_decim = design.lowpass_sinc(
             C.RDS_DECIM_TAPS, cfg.rds_rate / 2, fs_fm).astype(np.float32)
         self.bitrec_cfg = make_bitrecovery_config(cfg.rds_rate)
+        if cfg.rds.startswith("scan"):
+            from ..rds import scan_decoders as SD
+            self._sd = SD
+            self.scan_cfg = {
+                "scan1": SD.make_decoder1_config,
+                "scan2": SD.make_decoder2_config,
+                "scan3": SD.make_decoder3_config,
+            }[cfg.rds](cfg.rds_rate)
+        else:
+            self._sd = None
+            self.scan_cfg = None
         # audio lowpass (fmAudioFilter 8192/756) + deemphasis + ÷4
         if cfg.audio_filter_hz > 0:
             k_af = design.lowpass_sinc(C.AUDIO_FILTER_DEGREE,
@@ -211,6 +233,13 @@ class Receiver:
         self.deemph_alpha = C.deemphasis_alpha(cfg.deemphasis_us, fs_fm)
         self.k_audio_decim = design.polyphase_resampler_kernel(
             fs_fm // cfg.working_rate).astype(np.float32)
+        if cfg.audio_rate != cfg.working_rate:
+            assert cfg.audio_rate % cfg.working_rate == 0
+            up = cfg.audio_rate // cfg.working_rate
+            self.k_audio_up = design.polyphase_resampler_kernel(up
+                                                                ).astype(np.float32)
+        else:
+            self.k_audio_up = None
         self._validate()
 
     def _validate(self):
@@ -241,14 +270,48 @@ class Receiver:
                         if cfg.rds != "off" else None),
             rds_decim=(B.fir_zero_state(len(self.k_rds_decim))
                        if cfg.rds != "off" else None),
-            bitrec=(bitrecovery_zero_state(self.bitrec_cfg)
-                    if cfg.rds == "block" else None),
+            bitrec=self._bitrec_zero_state(),
             audio_filt=(B.fft_filter_zero_state(cfg.fm_fft, cfg.fm_hop)
                         if self.H_audio is not None else None),
             deemph=jnp.asarray(0.0 + 0.0j, cplx),
             audio_decim=B.fir_zero_state(len(self.k_audio_decim)),
             ramp_remaining=jnp.asarray(cfg.working_rate // 2, jnp.int32),
+            audio_up=(B.fir_zero_state(
+                (len(self.k_audio_up) + cfg.audio_rate // cfg.working_rate - 1)
+                // (cfg.audio_rate // cfg.working_rate))
+                if self.k_audio_up is not None else None),
+            tone_index=jnp.asarray(0, jnp.int32),
         )
+
+    def _bitrec_zero_state(self):
+        cfg = self.cfg
+        if cfg.rds == "block":
+            return bitrecovery_zero_state(self.bitrec_cfg)
+        if cfg.rds == "scan1":
+            return self._sd.decoder1_zero_state(self.scan_cfg)
+        if cfg.rds == "scan2":
+            return self._sd.decoder2_zero_state(self.scan_cfg)
+        if cfg.rds == "scan3":
+            return self._sd.decoder3_zero_state(self.scan_cfg)
+        return None
+
+    def _recover_bits(self, z24, bitrec_state):
+        """Dispatch to the selected bit decoder; returns (BitBlock, state)."""
+        cfg = self.cfg
+        if cfg.rds == "block":
+            return recover_bits(z24, self.bitrec_cfg, bitrec_state)
+        fn = {"scan1": self._sd.decoder1_block,
+              "scan2": self._sd.decoder2_block,
+              "scan3": self._sd.decoder3_block}[cfg.rds]
+        bits, mask, new_state = fn(z24, self.scan_cfg, bitrec_state)
+        cap = bit_capacity(cfg.block_rds)
+        T = z24.shape[0]
+        idx = jnp.nonzero(mask, size=cap, fill_value=T - 1)[0]
+        count = jnp.sum(mask.astype(jnp.int32))
+        valid = jnp.arange(cap) < count
+        blk = BitBlock(bits=bits[idx], valid=valid, count=count,
+                       iq=jnp.zeros(cap, jnp.complex64))
+        return blk, new_state
 
     # ------------------------------------------------------------------
     # Front end: 2.304 MS/s -> 192 kS/s.  This is the shardable heavy part;
@@ -427,9 +490,8 @@ class Receiver:
                 rds_bb, jnp.asarray(self.k_rds_decim), 8, state.rds_decim)
             if taps is not None:
                 taps["rds_baseband"] = z24
-            if cfg.rds == "block":
-                rds_out, bitrec_state = recover_bits(
-                    z24, self.bitrec_cfg, state.bitrec)
+            if cfg.rds != "off":
+                rds_out, bitrec_state = self._recover_bits(z24, state.bitrec)
         else:
             phase_delay = state.phase_delay
 
@@ -459,6 +521,21 @@ class Receiver:
         pcm = pcm * gain
         ramp_remaining = jnp.maximum(state.ramp_remaining - Tw, 0)
 
+        # --- test tone (insertTestTone, fm-processor.cpp:800-823): 25 ms of
+        # 1 kHz at level 0.9 every 2 s; audio attenuated to 0.1 while on ----
+        if cfg.test_tone:
+            period = 2 * cfg.working_rate
+            dur = cfg.working_rate // 40
+            idx = (state.tone_index + jnp.arange(Tw, dtype=jnp.int32)) % period
+            burst = idx < dur
+            tone = 0.9 * jnp.sin(2.0 * jnp.pi * 1000.0 / cfg.working_rate
+                                 * idx.astype(jnp.float32))
+            tone = jnp.where(burst, tone, 0.0)
+            pcm = pcm * (1.0 - 0.9) + jax.lax.complex(tone, tone)
+            tone_index = (state.tone_index + Tw) % period
+        else:
+            tone_index = state.tone_index
+
         # --- peak meter (evaluatePeakLevel :772-798) -------------------------
         peak_l = jnp.max(jnp.abs(jnp.real(pcm)))
         peak_r = jnp.max(jnp.abs(jnp.imag(pcm)))
@@ -476,6 +553,14 @@ class Receiver:
             peak_right_db=to_db(peak_r),
         )
 
+        # --- optional upsample to audioRate (sendSampletoOutput with the
+        # -m 192 kHz audio mode, fm-processor.cpp:825-838) -------------------
+        audio_up_state = state.audio_up
+        if self.k_audio_up is not None:
+            up = cfg.audio_rate // cfg.working_rate
+            pcm, audio_up_state = B.fir_interpolate(
+                pcm, jnp.asarray(self.k_audio_up), up, state.audio_up)
+
         new_state = ReceiverState(
             n0_mod=fe_updates["n0_mod"], rf_dc=fe_updates["rf_dc"],
             input_filt=fe_updates["input_filt"],
@@ -485,7 +570,8 @@ class Receiver:
             phase_delay=phase_delay, rds57_filt=rds57_filt,
             rds_decim=rds_decim_c, bitrec=bitrec_state,
             audio_filt=audio_filt, deemph=deemph_last,
-            audio_decim=audio_decim, ramp_remaining=ramp_remaining)
+            audio_decim=audio_decim, ramp_remaining=ramp_remaining,
+            audio_up=audio_up_state, tone_index=tone_index)
 
         out = Output(
             audio=jnp.stack([jnp.real(pcm), jnp.imag(pcm)], axis=-1),

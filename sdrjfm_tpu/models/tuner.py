@@ -77,7 +77,7 @@ class RadioController:
                                        jnp.int32),
             pss=pss_zero_state(self.rx.pss_cfg))
         if s.bitrec is not None:
-            s = s._replace(bitrec=bitrecovery_zero_state(self.rx.bitrec_cfg))
+            s = s._replace(bitrec=self.rx._bitrec_zero_state())
         self.state = s
 
     # -- processing with AFC -------------------------------------------

@@ -138,6 +138,35 @@ def fir_decimate(x: Array, kernel: Array, factor: int,
     return y, new_carry
 
 
+def fir_interpolate(x: Array, kernel: Array, factor: int,
+                    carry: Array) -> Tuple[Array, Array]:
+    """Polyphase interpolation by `factor` (zero-stuff + lowpass, gain
+    compensated).  The TPU-native equivalent of the reference's
+    workingRate->audioRate libsamplerate converter (newconverter.cpp, used
+    by sendSampletoOutput for the -m 192 kHz audio mode, main.cpp:57-60).
+
+    kernel length must be a multiple of factor plus 1; carry holds the last
+    ceil((K-1)/factor) inputs.
+    """
+    K = kernel.shape[0]
+    phases = (K + factor - 1) // factor          # taps per polyphase branch
+    xp = jnp.concatenate([carry, x])
+    new_carry = xp[-(phases - 1):] if phases > 1 else carry
+    k_pad = jnp.concatenate([kernel, jnp.zeros(phases * factor - K,
+                                               kernel.dtype)])
+    # branch p uses taps k[p::factor]; y[m*factor + p] = sum_j k[p+j*L] x[m-j]
+    outs = []
+    for ph in range(factor):
+        kp = k_pad[ph::factor]
+        if jnp.iscomplexobj(xp) or jnp.iscomplexobj(kp):
+            y = _conv_complex(xp, kp, stride=1)
+        else:
+            y = _conv_valid_real(xp, kp)
+        outs.append(y)
+    y = jnp.stack(outs, axis=-1).reshape(-1) * factor
+    return y, new_carry
+
+
 def fir_zero_state(kernel_len: int, dtype=jnp.complex64) -> Array:
     return jnp.zeros((kernel_len - 1,), dtype=dtype)
 

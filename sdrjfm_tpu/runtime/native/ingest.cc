@@ -1,0 +1,250 @@
+// Native streaming ingest runtime for the TPU FM framework.
+//
+// Plays the role of the reference's device layer (devices/): a source thread
+// produces complex-float IQ into a lock-free SPSC ring; the consumer (the
+// Python/JAX block pipeline) pulls fixed-size blocks.  Implemented sources:
+//
+//   * wav file source with optional real-time pacing — the semantic
+//     equivalent of devices/filereader (filehulp.cpp: a pacing thread emits
+//     inputRate/100 frames every 10 ms and loops at EOF), plus sample-format
+//     conversion u8/i16/i24/i32/f32 -> float pairs (the handlers' job, e.g.
+//     rtlsdr-handler.cpp:285-294).
+//
+// C ABI for ctypes; no Python dependencies.
+
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "ringbuffer.h"
+
+using sdrjfm::SpscRing;
+
+namespace {
+
+struct WavInfo {
+  uint32_t rate = 0;
+  uint16_t channels = 0;
+  uint16_t bits = 0;
+  uint16_t fmt = 0;       // 1 = PCM, 3 = float
+  long data_offset = 0;
+  long data_bytes = 0;
+};
+
+bool parse_wav(FILE* f, WavInfo* info) {
+  char id[4];
+  uint32_t sz;
+  if (fread(id, 1, 4, f) != 4 || memcmp(id, "RIFF", 4) != 0) return false;
+  if (fread(&sz, 4, 1, f) != 1) return false;
+  if (fread(id, 1, 4, f) != 4 || memcmp(id, "WAVE", 4) != 0) return false;
+  while (fread(id, 1, 4, f) == 4 && fread(&sz, 4, 1, f) == 1) {
+    long pos = ftell(f);
+    if (memcmp(id, "fmt ", 4) == 0) {
+      struct {
+        uint16_t fmt, ch;
+        uint32_t rate, brate;
+        uint16_t align, bits;
+      } h;
+      if (fread(&h, sizeof(h), 1, f) != 1) return false;
+      info->fmt = h.fmt;
+      info->channels = h.ch;
+      info->rate = h.rate;
+      info->bits = h.bits;
+      if (h.fmt == 0xFFFE && sz >= 40) {  // extensible
+        uint16_t ext_sz, valid_bits;
+        uint32_t mask;
+        uint16_t sub_fmt;
+        fread(&ext_sz, 2, 1, f);
+        fread(&valid_bits, 2, 1, f);
+        fread(&mask, 4, 1, f);
+        fread(&sub_fmt, 2, 1, f);
+        info->fmt = sub_fmt;
+      }
+    } else if (memcmp(id, "data", 4) == 0) {
+      info->data_offset = pos;
+      info->data_bytes = sz;
+    }
+    fseek(f, pos + sz + (sz & 1), SEEK_SET);
+  }
+  return info->rate != 0 && info->data_offset != 0;
+}
+
+}  // namespace
+
+struct SdrSource {
+  SpscRing<float> ring;       // interleaved I,Q floats
+  std::thread worker;
+  std::atomic<bool> running{false};
+  std::atomic<uint64_t> produced{0};   // complex frames produced
+  std::atomic<uint64_t> dropped{0};    // frames lost to a full ring
+  std::atomic<int> eof{0};
+  FILE* file = nullptr;
+  WavInfo info;
+  bool pace;
+  bool loop;
+
+  SdrSource(size_t ring_frames, bool pace_, bool loop_)
+      : ring(ring_frames * 2), pace(pace_), loop(loop_) {}
+};
+
+extern "C" {
+
+// Opens a wav IQ source. pace=1 emulates a live SDR front-end (real-time
+// emission in 10 ms slices); pace=0 streams as fast as the ring drains.
+// Returns nullptr on failure.
+SdrSource* sdr_wav_source_open(const char* path, size_t ring_frames,
+                               int pace, int loop) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  WavInfo info;
+  if (!parse_wav(f, &info)) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* s = new SdrSource(ring_frames, pace != 0, loop != 0);
+  s->file = f;
+  s->info = info;
+  return s;
+}
+
+uint32_t sdr_source_rate(SdrSource* s) { return s->info.rate; }
+
+static void convert_frames(const WavInfo& info, const uint8_t* raw,
+                           size_t frames, float* out) {
+  const int ch = info.channels;
+  for (size_t i = 0; i < frames; ++i) {
+    float vi = 0.0f, vq = 0.0f;
+    const uint8_t* p = raw + i * ch * (info.bits / 8);
+    auto cvt = [&](const uint8_t* q) -> float {
+      switch (info.bits) {
+        case 8:
+          return (static_cast<float>(q[0]) - 128.0f) / 128.0f;
+        case 16: {
+          int16_t v;
+          memcpy(&v, q, 2);
+          return static_cast<float>(v) / 32768.0f;
+        }
+        case 24: {
+          int32_t v = q[0] | (q[1] << 8) | (q[2] << 16);
+          if (v & 0x800000) v -= (1 << 24);
+          return static_cast<float>(v) / 8388608.0f;
+        }
+        case 32:
+          if (info.fmt == 3) {
+            float v;
+            memcpy(&v, q, 4);
+            return v;
+          } else {
+            int32_t v;
+            memcpy(&v, q, 4);
+            return static_cast<float>(v) / 2147483648.0f;
+          }
+        default:
+          return 0.0f;
+      }
+    };
+    vi = cvt(p);
+    if (ch > 1) vq = cvt(p + info.bits / 8);
+    out[2 * i] = vi;
+    out[2 * i + 1] = vq;
+  }
+}
+
+// Starts the producer thread (restartReader equivalent).
+void sdr_source_start(SdrSource* s) {
+  if (s->running.load()) return;
+  s->running.store(true);
+  fseek(s->file, s->info.data_offset, SEEK_SET);
+  s->worker = std::thread([s]() {
+    const size_t slice = s->pace ? s->info.rate / 100 : 65536;
+    const size_t frame_bytes = s->info.channels * (s->info.bits / 8);
+    std::vector<uint8_t> raw(slice * frame_bytes);
+    std::vector<float> conv(slice * 2);
+    auto next_emit = std::chrono::steady_clock::now();
+    long remaining = s->info.data_bytes / (long)frame_bytes;
+    while (s->running.load(std::memory_order_relaxed)) {
+      size_t want = slice;
+      if ((long)want > remaining) want = (size_t)remaining;
+      size_t got = want ? fread(raw.data(), frame_bytes, want, s->file) : 0;
+      if (got == 0) {
+        if (s->loop) {
+          fseek(s->file, s->info.data_offset, SEEK_SET);
+          remaining = s->info.data_bytes / (long)frame_bytes;
+          continue;
+        }
+        s->eof.store(1);
+        break;
+      }
+      remaining -= (long)got;
+      convert_frames(s->info, raw.data(), got, conv.data());
+      size_t put = 0;
+      while (put < got * 2 && s->running.load(std::memory_order_relaxed)) {
+        size_t n = s->ring.put(conv.data() + put, got * 2 - put);
+        put += n;
+        if (n == 0) {
+          if (s->pace) {
+            // live source semantics: a full ring drops samples
+            s->dropped.fetch_add((got * 2 - put) / 2);
+            break;
+          }
+          std::this_thread::sleep_for(std::chrono::microseconds(200));
+        }
+      }
+      s->produced.fetch_add(got);
+      if (s->pace) {
+        next_emit += std::chrono::microseconds(10'000);
+        std::this_thread::sleep_until(next_emit);
+      }
+    }
+    s->running.store(false);
+  });
+}
+
+// Pulls up to n complex frames as interleaved floats; returns frames read.
+size_t sdr_source_read(SdrSource* s, float* dst, size_t n_frames) {
+  return s->ring.get(dst, n_frames * 2) / 2;
+}
+
+// Blocking read of exactly n frames (or fewer at EOF). timeout_ms < 0 waits
+// forever.  This is the engine-thread wait loop (fm-processor.cpp:388-390).
+size_t sdr_source_read_blocking(SdrSource* s, float* dst, size_t n_frames,
+                                long timeout_ms) {
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < n_frames) {
+    got += s->ring.get(dst + 2 * got, (n_frames - got) * 2) / 2;
+    if (got >= n_frames) break;
+    if (s->eof.load() && s->ring.readAvailable() < 2) break;
+    if (timeout_ms >= 0 && std::chrono::steady_clock::now() > deadline) break;
+    std::this_thread::sleep_for(std::chrono::microseconds(500));
+  }
+  return got;
+}
+
+size_t sdr_source_available(SdrSource* s) {
+  return s->ring.readAvailable() / 2;
+}
+
+uint64_t sdr_source_dropped(SdrSource* s) { return s->dropped.load(); }
+int sdr_source_eof(SdrSource* s) {
+  return s->eof.load() && s->ring.readAvailable() < 2;
+}
+
+void sdr_source_stop(SdrSource* s) {
+  s->running.store(false);
+  if (s->worker.joinable()) s->worker.join();
+}
+
+void sdr_source_close(SdrSource* s) {
+  sdr_source_stop(s);
+  if (s->file) fclose(s->file);
+  delete s;
+}
+
+}  // extern "C"

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native ingest runtime (runtime/native/).
+
+Provides the framework's Source abstraction over the C++ SPSC-ring wav
+streamer — the deviceHandler-shaped interface of the reference
+(devices/device-handler.h:60-85: getRate / restartReader / stopReader /
+getSamples / Samples / resetBuffer), backed by a producer thread and a
+lock-free ring exactly like the reference's device zoo.  Builds on demand
+with `make`; falls back cleanly (raises NativeUnavailable) when no compiler
+is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libsdrjfm_ingest.so"
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+_lib = None
+
+
+def load_library(build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and build:
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            raise NativeUnavailable(f"cannot build native ingest: {e}")
+    if not _LIB_PATH.exists():
+        raise NativeUnavailable("libsdrjfm_ingest.so not built")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.sdr_wav_source_open.restype = ctypes.c_void_p
+    lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                        ctypes.c_int, ctypes.c_int]
+    lib.sdr_source_rate.restype = ctypes.c_uint32
+    lib.sdr_source_rate.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_read.restype = ctypes.c_size_t
+    lib.sdr_source_read.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_size_t]
+    lib.sdr_source_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_source_read_blocking.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_float),
+                                             ctypes.c_size_t, ctypes.c_long]
+    lib.sdr_source_available.restype = ctypes.c_size_t
+    lib.sdr_source_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_dropped.restype = ctypes.c_uint64
+    lib.sdr_source_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_eof.restype = ctypes.c_int
+    lib.sdr_source_eof.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeWavSource:
+    """Streaming IQ source: C++ producer thread -> lock-free ring -> blocks.
+
+    pace=True emulates a live 2.304 MS/s front-end (real-time emission, drops
+    on overrun — the live-SDR failure mode); pace=False streams at full speed
+    for offline runs.
+    """
+
+    def __init__(self, path: str, ring_frames: int = 1 << 22,
+                 pace: bool = False, loop: bool = False):
+        self._lib = load_library()
+        self._h = self._lib.sdr_wav_source_open(
+            str(path).encode(), ring_frames, int(pace), int(loop))
+        if not self._h:
+            raise IOError(f"cannot open wav source {path}")
+
+    @property
+    def rate(self) -> int:
+        return int(self._lib.sdr_source_rate(self._h))
+
+    def start(self):
+        self._lib.sdr_source_start(self._h)
+
+    def stop(self):
+        self._lib.sdr_source_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_source_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_source_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_source_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read of one block; returns complex64 [got]."""
+        buf = np.empty(2 * n_frames, dtype=np.float32)
+        got = self._lib.sdr_source_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n_frames, timeout_ms)
+        iq = buf[: 2 * got].reshape(-1, 2)
+        return (iq[:, 0] + 1j * iq[:, 1]).astype(np.complex64)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_source_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -145,3 +145,32 @@ class TestRDS:
         assert dec.result.pty_code == 5
         assert "TPU NATIVE FM" in dec.result.radio_text
         assert sync.bit_error_rate < 0.01
+
+
+class TestAudioModes:
+    def test_192k_audio_mode(self):
+        """audio_rate=192000 (the reference's -m flag) upsamples x4 and
+        preserves the tone."""
+        iq = make_iq(seconds=0.7)
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, mode="mono",
+                                     rds="off", audio_rate=192000,
+                                     audio_filter_hz=15000))
+        res = run_offline(rx, iq, drop_blocks=2)
+        assert len(res.audio) % 4 == 0
+        assert len(res.audio) == (len(iq) // rx.cfg.block_in - 2) \
+            * rx.cfg.block_audio
+        snr = tone_snr_db(res.audio[:, 0], 192000, 1000.0)
+        assert snr > 35.0, snr
+
+    def test_test_tone_injection(self):
+        iq = make_iq(seconds=2.5)
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, mode="mono",
+                                     rds="off", test_tone=True))
+        res = run_offline(rx, iq, drop_blocks=0)
+        x = res.audio[:, 0]
+        # a 25 ms burst of 1 kHz at 0.9 exists at the start of each 2 s period
+        burst = x[:1200]
+        rest = x[24000:48000]
+        assert np.abs(burst).max() > 0.5
+        # outside the burst the program is attenuated to 0.1
+        assert np.abs(rest).max() < 0.25
