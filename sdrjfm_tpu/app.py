@@ -56,6 +56,13 @@ def _build_rx_parser(sub):
     p.add_argument("--pty-locale", type=int, default=0, choices=[0, 1])
     p.add_argument("--float32", action="store_true",
                    help="write float32 wav instead of PCM16")
+    p.add_argument("--dump-if", help="dump the 192 kHz IF (complex wav)")
+    p.add_argument("--dump-mpx", help="dump the demodulated MPX (192 kHz wav)")
+    p.add_argument("--spectra", help="write hf/lf spectra + waterfall + RDS "
+                                     "constellation to an npz")
+    p.add_argument("--save-state", help="write the DSP carry state (npz) at "
+                                        "the end of the run")
+    p.add_argument("--load-state", help="resume from a saved DSP state")
 
 
 def _build_synth_parser(sub):
@@ -86,13 +93,14 @@ def cmd_rx(args) -> int:
     if rate != C.INPUT_RATE:
         print(f"warning: capture rate {rate} != {C.INPUT_RATE}; "
               "proceeding with the contract rate", file=sys.stderr)
+    want_taps = bool(args.dump_if or args.dump_mpx or args.spectra)
     cfg = ReceiverConfig(
         block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
         sound=args.sound, pss_active=not args.no_pss,
         deemphasis_us=args.deemphasis, audio_filter_hz=args.audio_filter,
         input_filter=args.input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
-        frontend=args.frontend)
+        frontend=args.frontend, emit_taps=want_taps)
     rx = Receiver(cfg)
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0
@@ -107,7 +115,14 @@ def cmd_rx(args) -> int:
         squelch_level=jnp.asarray(args.squelch_level, jnp.float32))
 
     t0 = time.time()
-    res = run_offline(rx, iq, controls)
+    init_state = None
+    if args.load_state:
+        from .runtime.checkpoint import load_state
+        init_state, ck_meta = load_state(args.load_state, rx.init_state())
+        print(f"resumed state from {args.load_state} {ck_meta}",
+              file=sys.stderr)
+    res = run_offline(rx, iq, controls, collect_taps=want_taps,
+                      init_state=init_state)
     dt = time.time() - t0
     n_in = (len(iq) // cfg.block_in) * cfg.block_in
     rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")
@@ -148,6 +163,32 @@ def cmd_rx(args) -> int:
               f"station={r.station_label!r} text={r.radio_text!r} "
               f"groups={sync.groups_decoded} BER={sync.bit_error_rate:.4f}",
               file=sys.stderr)
+    if args.dump_if and "if_filtered" in res.taps:
+        from .io.wavio import write_iq_wav
+        write_iq_wav(args.dump_if, res.taps["if_filtered"], cfg.fm_rate)
+    if args.dump_mpx and "demod" in res.taps:
+        write_wav(args.dump_mpx, res.taps["demod"], cfg.fm_rate, float32=True)
+    if args.spectra:
+        from .models import scopes
+        import jax.numpy as jnp
+        hf = np.asarray(scopes.spectrum_db(jnp.asarray(iq[: cfg.block_in])))
+        out_npz = {"hf_spectrum_db": hf}
+        if "demod" in res.taps:
+            d = res.taps["demod"]
+            nb = len(d) // cfg.block_fm
+            wf = [np.asarray(scopes.spectrum_db(
+                jnp.asarray(d[i * cfg.block_fm:(i + 1) * cfg.block_fm]
+                            ).astype(jnp.complex64))) for i in range(nb)]
+            out_npz["lf_waterfall_db"] = scopes.waterfall(wf)
+        if res.rds_iq is not None:
+            out_npz["rds_constellation"] = scopes.iq_constellation(res.rds_iq)
+        np.savez(args.spectra, **out_npz)
+        print(f"wrote {args.spectra}", file=sys.stderr)
+    if args.save_state and res.final_state is not None:
+        from .runtime.checkpoint import save_state
+        save_state(args.save_state, res.final_state,
+                   {"blocks": len(res.meta)})
+        print(f"wrote {args.save_state}", file=sys.stderr)
     if args.report:
         with open(args.report, "w") as f:
             json.dump(report, f, indent=2)

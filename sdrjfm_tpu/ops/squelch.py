@@ -36,13 +36,16 @@ class SquelchConfig(NamedTuple):
 
 
 def make_squelch_config(rate: int = C.FM_RATE, key_freq: int = 70000,
-                        order: int = 20) -> SquelchConfig:
+                        order: int = 20,
+                        hold_period: int = 8192) -> SquelchConfig:
     """Order-20 Chebyshev pair as the reference constructs (squelchClass.cpp:
-    36-46); cheby1 with 1 dB ripple mirrors its S_CHEBYSHEV design."""
+    36-46); cheby1 with 1 dB ripple mirrors its S_CHEBYSHEV design.  The
+    reference decides every fmRate/20 = 9600 samples; we use 8192 (23 Hz vs
+    20 Hz decision cadence) so hold periods tile power-of-two blocks."""
     hp = IIRSpec(design.cheby1_sos(order // 2, key_freq - 100, rate, "highpass"))
     lp = IIRSpec(design.cheby1_sos(order // 2, min(key_freq, int(0.49 * rate)),
                                    rate, "lowpass"))
-    return SquelchConfig(hp=hp, lp=lp, hold_period=rate // 20, rate=rate)
+    return SquelchConfig(hp=hp, lp=lp, hold_period=hold_period, rate=rate)
 
 
 class SquelchState(NamedTuple):

@@ -25,12 +25,14 @@ class StreamResult:
     rds_bits: Optional[np.ndarray] = None
     rds_iq: Optional[np.ndarray] = None
     taps: dict = field(default_factory=dict)
+    final_state: object = None
 
 
 def run_offline(rx: Receiver, iq: np.ndarray,
                 controls: Optional[Controls] = None,
                 drop_blocks: int = 0,
-                collect_taps: bool = False) -> StreamResult:
+                collect_taps: bool = False,
+                init_state=None) -> StreamResult:
     """Process a full IQ array through the receiver, block by block.
 
     drop_blocks: number of leading blocks to exclude from the result (filter
@@ -42,7 +44,7 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     step = rx.jit_step()
-    state = rx.init_state()
+    state = init_state if init_state is not None else rx.init_state()
 
     audio, metas, bits, biq = [], [], [], []
     tap_acc: dict = {}
@@ -62,7 +64,8 @@ def run_offline(rx: Receiver, iq: np.ndarray,
             for k, v in out.taps.items():
                 tap_acc.setdefault(k, []).append(np.asarray(v))
 
-    res = StreamResult(audio=np.concatenate(audio, axis=0), meta=metas)
+    res = StreamResult(audio=np.concatenate(audio, axis=0), meta=metas,
+                       final_state=state)
     if bits:
         res.rds_bits = np.concatenate(bits)
         res.rds_iq = np.concatenate(biq)

@@ -1,0 +1,127 @@
+"""Auxiliary subsystems: checkpoint/resume, sources, scopes, station list."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdrjfm_tpu import constants as C
+from sdrjfm_tpu.io import synth
+from sdrjfm_tpu.io.source import SynthSource, WavFileSource, open_source
+from sdrjfm_tpu.io.stations import StationList
+from sdrjfm_tpu.io.wavio import write_iq_wav
+from sdrjfm_tpu.models import scopes
+from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig, default_controls
+from sdrjfm_tpu.runtime.checkpoint import load_state, save_state
+
+
+def _iq(seconds=1.0):
+    n = int(seconds * C.FM_RATE)
+    t = np.arange(n) / C.FM_RATE
+    mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 1000 * t),
+                          0.5 * np.sin(2 * np.pi * 500 * t),
+                          synth.MPXParams())
+    return synth.fm_modulate(mpx, C.FM_RATE)
+
+
+class TestCheckpoint:
+    def test_resume_is_bit_exact(self, tmp_path):
+        """stop/save/load/continue == uninterrupted run, bit for bit."""
+        import jax
+        iq = _iq(1.0)
+        rx = Receiver(ReceiverConfig(block_fm=32768, rds="block"))
+        step = jax.jit(rx.step)
+        ctl = default_controls()
+        T = rx.cfg.block_in
+        nb = len(iq) // T
+        # uninterrupted
+        s = rx.init_state()
+        outs = []
+        for b in range(nb):
+            s, o = step(s, ctl, jnp.asarray(iq[b * T:(b + 1) * T]))
+            outs.append(np.asarray(o.audio))
+        # interrupted at the midpoint
+        s2 = rx.init_state()
+        for b in range(nb // 2):
+            s2, o = step(s2, ctl, jnp.asarray(iq[b * T:(b + 1) * T]))
+        path = str(tmp_path / "ck.npz")
+        save_state(path, s2, {"pos": nb // 2})
+        s3, meta = load_state(path, rx.init_state())
+        assert meta["pos"] == nb // 2
+        outs2 = []
+        for b in range(nb // 2, nb):
+            s3, o = step(s3, ctl, jnp.asarray(iq[b * T:(b + 1) * T]))
+            outs2.append(np.asarray(o.audio))
+        np.testing.assert_array_equal(np.concatenate(outs[nb // 2:]),
+                                      np.concatenate(outs2))
+
+
+class TestSources:
+    def test_wav_source_contract(self, tmp_path):
+        iq = _iq(0.3)
+        path = str(tmp_path / "x.wav")
+        write_iq_wav(path, iq, C.INPUT_RATE)
+        src = WavFileSource(path)
+        assert src.get_rate() == C.INPUT_RATE
+        assert src.legal_frequency(94_000_000)
+        assert not src.legal_frequency(50_000_000)
+        assert src.samples() == len(iq)
+        a = src.get_samples(1000)
+        b = src.get_samples(1000)
+        np.testing.assert_array_equal(a, iq[:1000])
+        np.testing.assert_array_equal(b, iq[1000:2000])
+        src.reset_buffer()
+        np.testing.assert_array_equal(src.get_samples(10), iq[:10])
+
+    def test_wav_source_loop(self, tmp_path):
+        iq = _iq(0.1)
+        path = str(tmp_path / "x.wav")
+        write_iq_wav(path, iq, C.INPUT_RATE)
+        src = WavFileSource(path, loop=True)
+        got = src.get_samples(len(iq) + 500)
+        np.testing.assert_array_equal(got[len(iq):], iq[:500])
+
+    def test_synth_source_stream(self):
+        src = SynthSource(seconds_per_chunk=0.2)
+        x = src.get_samples(500_000)
+        assert len(x) == 500_000
+        assert np.abs(np.abs(x) - 1.0).max() < 1e-3   # constant-envelope FM
+
+    def test_factory(self, tmp_path):
+        iq = _iq(0.1)
+        path = str(tmp_path / "x.wav")
+        write_iq_wav(path, iq, C.INPUT_RATE)
+        src = open_source(f"file:{path}")
+        assert src.samples() == len(iq)
+
+
+class TestScopes:
+    def test_hf_spectrum_peak_at_offset(self):
+        n = 2048 * 8
+        t = np.arange(n)
+        x = np.exp(1j * 2 * np.pi * 0.1 * t).astype(np.complex64)
+        s = np.asarray(scopes.spectrum_db(jnp.asarray(x), display_size=512))
+        assert s.shape == (512,)
+        # tone at +0.1 of fs -> bin 256 + 51
+        assert abs(int(np.argmax(s)) - (256 + 51)) <= 1
+
+    def test_constellation_grid(self):
+        pts = np.asarray([1 + 0j, -1 + 0j] * 50, np.complex64)
+        img = scopes.iq_constellation(pts, extent=4.0)
+        assert img.shape == (101, 101)
+        assert img.sum() == 100
+        assert img[50, 75] == 50 and img[50, 25] == 50
+
+
+class TestStations:
+    def test_roundtrip_and_update(self, tmp_path):
+        path = str(tmp_path / "stations.json")
+        sl = StationList()
+        sl.add("Radio One", 94_300_000, pi_code=0x1234)
+        sl.add("Radio Two", 101_100_000)
+        sl.add("Radio One Renamed", 94_300_000)        # update, not dup
+        sl.save(path)
+        sl2 = StationList.load(path)
+        assert len(sl2.stations) == 2
+        assert sl2.find(94_320_000).name == "Radio One Renamed"
+        assert sl2.find(94_300_000).pi_code == 0x1234
+        assert sl2.remove(101_100_000)
+        assert sl2.find(101_100_000) is None

@@ -174,3 +174,64 @@ class TestAudioModes:
         assert np.abs(burst).max() > 0.5
         # outside the burst the program is attenuated to 0.1
         assert np.abs(rest).max() < 0.25
+
+
+class TestDecoderVariants:
+    @pytest.mark.parametrize("decoder", ["mixed", "real_baseband",
+                                         "difference", "pll"])
+    def test_all_discriminators_demodulate(self, decoder):
+        iq = make_iq(seconds=0.7)
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, mode="mono",
+                                     rds="off", decoder=decoder,
+                                     audio_filter_hz=15000))
+        res = run_offline(rx, iq, drop_blocks=2)
+        snr = tone_snr_db(res.audio[:, 0], C.WORKING_RATE, 1000.0)
+        assert snr > 22.0, (decoder, snr)
+
+    def test_am_decoder(self):
+        """AM: envelope-modulated carrier -> recovered tone."""
+        n = int(0.7 * C.INPUT_RATE)
+        t = np.arange(n) / C.INPUT_RATE
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+        iq = (0.3 * env).astype(np.complex64)   # carrier at DC
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, mode="mono",
+                                     rds="off", decoder="am",
+                                     audio_filter_hz=15000))
+        res = run_offline(rx, iq, drop_blocks=1)
+        snr = tone_snr_db(res.audio[:, 0], C.WORKING_RATE, 1000.0)
+        assert snr > 20.0, snr
+
+
+class TestSquelch:
+    def test_noise_squelch_gates_noise(self):
+        """Pure noise with a high threshold must be suppressed; a clean
+        carrier with the same setting must pass."""
+        rng = np.random.default_rng(0)
+        n = int(0.7 * C.INPUT_RATE)
+        noise_iq = (0.1 * (rng.standard_normal(n) + 1j *
+                           rng.standard_normal(n))).astype(np.complex64)
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, mode="mono",
+                                     rds="off", squelch="nsq"))
+        from sdrjfm_tpu.models.receiver import default_controls
+        ctl = default_controls()._replace(
+            squelch_level=np.float32(70.0))
+        res_noise = run_offline(rx, noise_iq, controls=ctl, drop_blocks=1)
+
+        iq = make_iq(seconds=0.7)
+        res_sig = run_offline(rx, iq, controls=ctl, drop_blocks=1)
+        p_noise = float((res_noise.audio ** 2).mean())
+        p_sig = float((res_sig.audio ** 2).mean())
+        assert p_sig > 100 * max(p_noise, 1e-12), (p_sig, p_noise)
+
+    def test_level_squelch_gates_weak_carrier(self):
+        iq = make_iq(seconds=0.7, amplitude=0.001)
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, mode="mono",
+                                     rds="off", squelch="lsq"))
+        from sdrjfm_tpu.models.receiver import default_controls
+        ctl = default_controls()._replace(squelch_level=np.float32(60.0))
+        res_weak = run_offline(rx, iq, controls=ctl, drop_blocks=1)
+        iq2 = make_iq(seconds=0.7, amplitude=1.0)
+        res_strong = run_offline(rx, iq2, controls=ctl, drop_blocks=1)
+        p_weak = float((res_weak.audio ** 2).mean())
+        p_strong = float((res_strong.audio ** 2).mean())
+        assert p_strong > 100 * max(p_weak, 1e-12), (p_strong, p_weak)
