@@ -1,4 +1,4 @@
-"""Perfect Stereo Separation (PSS) — sub-block Costas adaptation.
+"""Perfect Stereo Separation (PSS) — batched-conv + scalar-scan adaptation.
 
 The reference adapts a phase offset for the reconstructed 38 kHz carrier with
 a per-sample Costas criterion whose error signal passes through a 15 kHz
@@ -7,14 +7,26 @@ alpha = 10/fmRate, clamp ±pi/4, x10 boost until converged).  This is the one
 loop in the receiver that cannot be flattened into a pure parallel transform
 (SURVEY.md §7 "the hard parts").
 
-TPU-native shape: the offset moves by at most alpha*boost*|err| ≈ 5e-4 rad
-per sample, so we hold it constant over a sub-block of SUBBLOCK samples,
-vectorise the mix + 295-tap lowpass + error computation inside the sub-block,
-and integrate the offset once per sub-block with `lax.scan` over sub-blocks —
-47 sequential steps per second of signal instead of 192 000.  The
-mean-error EMA and the 3 s lock/unlock hysteresis counters keep their exact
-per-sample semantics (vectorised EMA + run-length within each sub-block);
-only `error_minimized` (the x10 boost gate) is frozen per sub-block.
+TPU-native shape, two steps beyond the naive sub-block port:
+
+1. The offset `acc` moves by <~5e-4 rad/sample, so it is held constant over a
+   SUBBLOCK and updated once per sub-block.
+2. The filter is linear and the offset enters only as the rotation
+   e^{-j acc}, so with F = lowpass(e^{j base} * demod) computed ONCE for the
+   whole block (batched conv), the Costas error under rotation is
+
+       err[n] = Re(e^{-j acc} F[n]) * Im(e^{-j acc} F[n])
+              = Im(e^{-2j acc} F[n]^2) / 2.
+
+   Per-sub-block error sums and mean-error-EMA weighted sums of F^2 are
+   precomputed vectorized; the remaining `lax.scan` is pure scalar math —
+   nanoseconds per step instead of a conv per step.
+
+Approximations vs the per-sample reference (all asserted benign in
+tests/test_pilot_pss.py against the faithful `reference_scans.pss_scan`):
+the filter tail spanning a sub-block boundary uses the new acc for its halo
+samples, and the 3 s lock/unlock hysteresis counts in sub-block (21 ms)
+granularity.
 """
 
 from __future__ import annotations
@@ -27,7 +39,7 @@ import numpy as np
 
 from .. import constants as C
 from . import design
-from .blockops import ema_apply, runlength_true
+from .blockops import fir_apply
 
 Array = jax.Array
 
@@ -36,22 +48,29 @@ SUBBLOCK = 4096
 
 class PSSConfig(NamedTuple):
     kernel: np.ndarray        # [295] float32 15 kHz lowpass (PSS_FILTER_DEGREE)
+    ema_weights: np.ndarray   # [SUBBLOCK] lockAlpha*(1-lockAlpha)^(S-1-n)
+    ema_decay: float          # (1-lockAlpha)^SUBBLOCK
     rate: int
     subblock: int
 
 
 def make_pss_config(rate: int = C.FM_RATE, subblock: int = SUBBLOCK) -> PSSConfig:
     k = design.lowpass_sinc(C.PSS_FILTER_DEGREE, 15000.0, rate).astype(np.float32)
-    return PSSConfig(kernel=k, rate=rate, subblock=subblock)
+    lam = 1.0 / rate
+    n = np.arange(subblock)
+    w = lam * (1.0 - lam) ** (subblock - 1 - n)
+    return PSSConfig(kernel=k, ema_weights=w.astype(np.float32),
+                     ema_decay=float((1.0 - lam) ** subblock),
+                     rate=rate, subblock=subblock)
 
 
 class PSSState(NamedTuple):
     acc: Array                # accPhaseShift (stereo-separation.cpp:82-85)
-    tail: Array               # [294] complex mixed-signal filter history
+    tail: Array               # [294] complex u = e^{j base} demod history
     mean_error: Array
     minimized: Array          # bool: error_minimized
-    lock_run: Array           # consecutive |mean_error|<thr samples
-    unlock_run: Array         # consecutive not-below samples
+    lock_run: Array           # samples below threshold (consecutive)
+    unlock_run: Array
 
 
 def pss_zero_state(cfg: PSSConfig) -> PSSState:
@@ -63,6 +82,10 @@ def pss_zero_state(cfg: PSSConfig) -> PSSState:
         lock_run=jnp.asarray(0, jnp.int32),
         unlock_run=jnp.asarray(0, jnp.int32),
     )
+
+
+def pss_zero_state_like(st: PSSState) -> PSSState:
+    return jax.tree.map(lambda a: jnp.zeros_like(a), st)
 
 
 def pss_adapt(demod: Array, base_phase: Array, locked: Array,
@@ -84,63 +107,44 @@ def pss_adapt(demod: Array, base_phase: Array, locked: Array,
     S = cfg.subblock
     assert T % S == 0
     nsub = T // S
-    kernel = jnp.asarray(cfg.kernel)
-    klen = kernel.shape[0]
     alpha = jnp.float32(C.PSS_ALPHA)
-    lock_hold = jnp.int32(int(C.PSS_LOCK_STABLE_S * cfg.rate))
+    hold = jnp.int32(int(C.PSS_LOCK_STABLE_S * cfg.rate))
 
-    d = demod.reshape(nsub, S)
-    bp = base_phase.reshape(nsub, S)
-    lk = locked.reshape(nsub, S)
+    # batched part: filter the rotated-to-baseband L-R band once
+    u = jax.lax.complex(jnp.cos(base_phase), jnp.sin(base_phase)) \
+        * demod.astype(jnp.float32)
+    F, tail = fir_apply(u, jnp.asarray(cfg.kernel), state.tail)
+    G = (F * F).reshape(nsub, S)                       # complex
+    S_k = jnp.sum(G, axis=1)                           # [nsub]
+    W_k = jnp.sum(G * jnp.asarray(cfg.ema_weights)[None, :], axis=1)
+    sub_locked = locked.reshape(nsub, S)[:, 0]
+
+    decay = jnp.float32(cfg.ema_decay)
 
     def step(st: PSSState, inp):
-        d_s, bp_s, lk_s = inp
-        sub_locked = lk_s[0]
-        # mix with the current offset (held constant within the sub-block)
-        mix_phase = bp_s - st.acc
-        mixed = jax.lax.complex(jnp.cos(mix_phase), jnp.sin(mix_phase)) * d_s
-        xp = jnp.concatenate([st.tail, mixed])
-        filt = _conv_valid(xp, kernel)
-        err = jnp.real(filt) * jnp.imag(filt)
-        boost = jnp.where(st.minimized, 1.0, C.PSS_ERROR_BOOST).astype(jnp.float32)
-        err = err * boost
-        acc = st.acc + alpha * jnp.sum(err)
-        acc = jnp.clip(acc, -C.PSS_CLAMP, C.PSS_CLAMP)
-        me_track, me_last = ema_apply(err, C.PSS_LOCK_ALPHA, st.mean_error)
-        below = jnp.abs(me_track) < C.PSS_LOCK_THRESHOLD
-        lr, lr_last = runlength_true(below, st.lock_run)
-        ur, ur_last = runlength_true(~below, st.unlock_run)
-        # hysteresis (stereo-separation.cpp:88-101): latch on after 3 s below
-        # threshold; latch off after 3 s above.
-        minimized = jnp.where(below[-1],
-                              st.minimized | (lr_last > lock_hold),
-                              st.minimized & ~(ur_last > lock_hold))
-        new = PSSState(acc=acc, tail=xp[-(klen - 1):], mean_error=me_last,
-                       minimized=minimized, lock_run=lr_last,
-                       unlock_run=ur_last)
+        s_k, w_k, lk = inp
+        boost = jnp.where(st.minimized, 1.0, C.PSS_ERROR_BOOST
+                          ).astype(jnp.float32)
+        rot = jax.lax.complex(jnp.cos(-2.0 * st.acc), jnp.sin(-2.0 * st.acc))
+        err_sum = 0.5 * jnp.imag(rot * s_k) * boost
+        acc = jnp.clip(st.acc + alpha * err_sum, -C.PSS_CLAMP, C.PSS_CLAMP)
+        me = decay * st.mean_error + 0.5 * boost * jnp.imag(rot * w_k)
+        below = jnp.abs(me) < C.PSS_LOCK_THRESHOLD
+        lock_run = jnp.where(below, st.lock_run + S, 0)
+        unlock_run = jnp.where(below, 0, st.unlock_run + S)
+        minimized = jnp.where(below, st.minimized | (lock_run > hold),
+                              st.minimized & ~(unlock_run > hold))
+        new = PSSState(acc=acc, tail=st.tail, mean_error=me,
+                       minimized=minimized, lock_run=lock_run,
+                       unlock_run=unlock_run)
         # pilot unlock resets the analyzer (fm-processor.cpp:698-701)
         zero = pss_zero_state_like(st)
-        new = jax.tree.map(lambda a, b: jnp.where(sub_locked, a, b), new, zero)
-        out_acc = jnp.where(sub_locked, st.acc, 0.0)
+        new = jax.tree.map(lambda a, b: jnp.where(lk, a, b), new, zero)
+        out_acc = jnp.where(lk, st.acc, 0.0)
         return new, out_acc
 
-    new_state, accs = jax.lax.scan(step, state, (d, bp, lk))
+    scan_state = state._replace(tail=jnp.zeros((0,), jnp.complex64))
+    new_state, accs = jax.lax.scan(step, scan_state, (S_k, W_k, sub_locked))
+    new_state = new_state._replace(tail=tail)
     offsets = jnp.repeat(accs, S)
     return offsets, new_state
-
-
-def pss_zero_state_like(st: PSSState) -> PSSState:
-    return PSSState(
-        acc=jnp.zeros_like(st.acc),
-        tail=jnp.zeros_like(st.tail),
-        mean_error=jnp.zeros_like(st.mean_error),
-        minimized=jnp.zeros_like(st.minimized),
-        lock_run=jnp.zeros_like(st.lock_run),
-        unlock_run=jnp.zeros_like(st.unlock_run),
-    )
-
-
-def _conv_valid(xp: Array, kernel: Array) -> Array:
-    """Causal VALID conv of complex xp with real kernel."""
-    from .blockops import _conv_complex
-    return _conv_complex(xp, kernel, stride=1)
