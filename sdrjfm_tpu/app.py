@@ -56,6 +56,8 @@ def _build_rx_parser(sub):
     p.add_argument("--pty-locale", type=int, default=0, choices=[0, 1])
     p.add_argument("--float32", action="store_true",
                    help="write float32 wav instead of PCM16")
+    p.add_argument("--audio-192k", action="store_true",
+                   help="output 192 kHz audio (the reference's -m flag)")
     p.add_argument("--dump-if", help="dump the 192 kHz IF (complex wav)")
     p.add_argument("--dump-mpx", help="dump the demodulated MPX (192 kHz wav)")
     p.add_argument("--spectra", help="write hf/lf spectra + waterfall + RDS "
@@ -100,6 +102,7 @@ def cmd_rx(args) -> int:
         deemphasis_us=args.deemphasis, audio_filter_hz=args.audio_filter,
         input_filter=args.input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
+        audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
         frontend=args.frontend, emit_taps=want_taps)
     rx = Receiver(cfg)
     balance = args.balance
@@ -130,7 +133,7 @@ def cmd_rx(args) -> int:
           file=sys.stderr)
 
     if args.audio:
-        write_wav(args.audio, res.audio, cfg.working_rate,
+        write_wav(args.audio, res.audio, cfg.audio_rate,
                   float32=args.float32)
         print(f"wrote {args.audio} ({len(res.audio)} frames)", file=sys.stderr)
 

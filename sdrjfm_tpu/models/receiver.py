@@ -188,6 +188,14 @@ class Receiver:
                                                ).astype(np.float32)
             self.k_band2 = design.lowpass_sinc(31, 110000.0, fs_in / 6
                                                ).astype(np.float32)
+        # composite single-stage ÷12 kernel: conv(h1, upsample6(h2)) — the
+        # cascade collapsed into one strided conv (identical algebra, one
+        # HBM pass less).  y2[m] = sum_k hc[k] x[12m+11-k] matches the
+        # two-stage alignment exactly.
+        up2 = np.zeros(6 * (len(self.k_band2) - 1) + 1, np.float64)
+        up2[::6] = self.k_band2
+        self.k_decim12 = np.convolve(self.k_band1.astype(np.float64), up2
+                                     ).astype(np.float32)
         # strong input filter (inputFilter 65536/251, fm-processor.cpp:77,148)
         k_in = design.lowpass_sinc(C.INPUT_FILTER_DEGREE,
                                    cfg.fm_bandwidth_hz / 2, fs_in)
@@ -258,7 +266,9 @@ class Receiver:
             rf_dc=jnp.asarray(0.0 + 0.0j, cplx),
             input_filt=(B.fft_filter_zero_state(cfg.input_fft, cfg.input_hop)
                         if cfg.input_filter else None),
-            band1=B.fir_zero_state(len(self.k_band1)),
+            band1=B.fir_zero_state(len(self.k_band1)
+                                   if cfg.frontend == "reference"
+                                   else len(self.k_decim12)),
             band2=B.fir_zero_state(len(self.k_band2)),
             demod=demod_zero_state(),
             squelch=(squelch_zero_state(self.squelch_cfg)
@@ -374,13 +384,23 @@ class Receiver:
         else:
             input_tail = None
 
-        # --- decimation cascade ÷6 ÷2 ---------------------------------------
-        c1 = (state.band1 if shard_axis is None
-              else left_halo(x, state.band1, shard_axis))
-        x, tail1 = B.fir_decimate(x, jnp.asarray(self.k_band1), 6, c1)
-        c2 = (state.band2 if shard_axis is None
-              else left_halo(x, state.band2, shard_axis))
-        v, tail2 = B.fir_decimate(x, jnp.asarray(self.k_band2), 2, c2)
+        # --- decimation ÷12 -------------------------------------------------
+        if self.cfg.frontend == "reference":
+            # two-stage cascade exactly as the reference runs it
+            c1 = (state.band1 if shard_axis is None
+                  else left_halo(x, state.band1, shard_axis))
+            x, tail1 = B.fir_decimate(x, jnp.asarray(self.k_band1), 6, c1)
+            c2 = (state.band2 if shard_axis is None
+                  else left_halo(x, state.band2, shard_axis))
+            v, tail2 = B.fir_decimate(x, jnp.asarray(self.k_band2), 2, c2)
+        else:
+            # collapsed single-stage polyphase (state.band1 carries the
+            # composite tail; band2 is unused but kept for state-shape
+            # stability across configs)
+            c1 = (state.band1 if shard_axis is None
+                  else left_halo(x, state.band1, shard_axis))
+            v, tail1 = B.fir_decimate(x, jnp.asarray(self.k_decim12), 12, c1)
+            tail2 = state.band2
         return v, (dc_last, input_tail, tail1, tail2)
 
     # ------------------------------------------------------------------
