@@ -33,39 +33,36 @@ def main():
     controls = default_controls()
     state = rx.init_state()
 
-    # realistic input: synthesized stereo+RDS broadcast signal
-    n_fm = cfg.block_fm
+    # realistic input: 16 distinct blocks of synthesized stereo+RDS signal
+    # (distinct data so no aliasing/hoisting can flatter the number)
+    nblocks = 16
+    n_fm = cfg.block_fm * nblocks
     t = np.arange(n_fm) / C.FM_RATE
     left = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
     right = 0.6 * np.sin(2 * np.pi * 440.0 * t)
     rng = np.random.default_rng(0)
-    bits = (rng.random(2000) > 0.5).astype(np.int8)
+    bits = (rng.random(30000) > 0.5).astype(np.int8)
     mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
-    iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in]
-    iq = jax.device_put(jnp.asarray(iq_np, jnp.complex64))
-
-    # warm up / compile
-    state, out = step(state, controls, iq)
-    jax.block_until_ready(out.audio)
+    iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in * nblocks]
+    blocks = jax.device_put(jnp.asarray(iq_np, jnp.complex64)
+                            .reshape(nblocks, cfg.block_in))
 
     # timed: scan-driven run — the whole multi-block pipeline is ONE
-    # dispatched program (device-resident input; a production ingest path
+    # dispatched program that keeps and returns every output (audio, RDS
+    # bits, metadata), device-resident input (a production ingest path
     # stages IQ into HBM asynchronously, so bench isolates compute)
-    nblocks = 64
-    blocks = jnp.broadcast_to(iq, (nblocks, cfg.block_in))
-
     @jax.jit
     def run(state, controls, blocks):
         def body(st, blk):
             st, out = rx.step(st, controls, blk)
-            return st, out.audio[-1, 0]
+            return st, out
         return jax.lax.scan(body, state, blocks)
 
-    st, tail = run(state, controls, blocks)
-    jax.block_until_ready(tail)
+    st, outs = run(state, controls, blocks)
+    jax.block_until_ready(outs.audio)
     t0 = time.time()
-    st, tail = run(state, controls, blocks)
-    jax.block_until_ready(tail)
+    st, outs = run(st, controls, blocks)
+    jax.block_until_ready(outs.audio)
     dt = time.time() - t0
     sps = nblocks * cfg.block_in / dt
     realtime_x = sps / C.INPUT_RATE

@@ -125,3 +125,20 @@ class TestStations:
         assert sl2.find(94_300_000).pi_code == 0x1234
         assert sl2.remove(101_100_000)
         assert sl2.find(101_100_000) is None
+
+
+class TestScanRunner:
+    def test_scan_run_matches_block_loop(self):
+        from sdrjfm_tpu.runtime.stream import run_offline, run_offline_scan
+        iq = _iq(0.8)
+        rx = Receiver(ReceiverConfig(block_fm=32768, rds="block"))
+        loop = run_offline(rx, iq)
+        st, outs = run_offline_scan(rx, iq)
+        audio = np.asarray(outs.audio).reshape(-1, 2)
+        # scan-body fusion differs from the standalone jit at fp level only
+        np.testing.assert_allclose(audio, loop.audio, atol=1e-5)
+        counts = np.asarray(outs.rds.count)
+        bits = np.asarray(outs.rds.bits)
+        collected = np.concatenate([bits[b, :counts[b]]
+                                    for b in range(len(counts))])
+        np.testing.assert_array_equal(collected, loop.rds_bits)
