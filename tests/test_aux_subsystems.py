@@ -13,12 +13,12 @@ from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig, default_control
 from sdrjfm_tpu.runtime.checkpoint import load_state, save_state
 
 
-def _iq(seconds=1.0):
+def _iq(seconds=1.0, rds_bits=None):
     n = int(seconds * C.FM_RATE)
     t = np.arange(n) / C.FM_RATE
     mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 1000 * t),
                           0.5 * np.sin(2 * np.pi * 500 * t),
-                          synth.MPXParams())
+                          synth.MPXParams(), rds_bits=rds_bits)
     return synth.fm_modulate(mpx, C.FM_RATE)
 
 
@@ -129,16 +129,35 @@ class TestStations:
 
 class TestScanRunner:
     def test_scan_run_matches_block_loop(self):
+        """Audio matches at fp-fusion level; RDS decodes to the same groups
+        (the bit grid's acquisition argmax is fp-sensitive, so streams may
+        carry a one-bit alignment slip — the group decode is the invariant)."""
+        from sdrjfm_tpu.rds import encode
+        from sdrjfm_tpu.rds.blocksync import BlockSynchronizer, Group
+        from sdrjfm_tpu.rds.groups import GroupDecoder
         from sdrjfm_tpu.runtime.stream import run_offline, run_offline_scan
-        iq = _iq(0.8)
+
+        syms = encode.differential_encode(
+            encode.make_bitstream(pi=0x4242, station="SCANRUNR"))
+        iq = _iq(2.0, rds_bits=syms)
         rx = Receiver(ReceiverConfig(block_fm=32768, rds="block"))
         loop = run_offline(rx, iq)
         st, outs = run_offline_scan(rx, iq)
         audio = np.asarray(outs.audio).reshape(-1, 2)
         # scan-body fusion differs from the standalone jit at fp level only
         np.testing.assert_allclose(audio, loop.audio, atol=1e-5)
+
+        def decode(bits):
+            sync, dec, grp = BlockSynchronizer(), GroupDecoder(), Group()
+            sync.push_bits(bits, grp, on_group=dec.decode)
+            return sync, dec.result
+
         counts = np.asarray(outs.rds.count)
         bits = np.asarray(outs.rds.bits)
         collected = np.concatenate([bits[b, :counts[b]]
                                     for b in range(len(counts))])
-        np.testing.assert_array_equal(collected, loop.rds_bits)
+        s1, r1 = decode(collected)
+        s2, r2 = decode(loop.rds_bits)
+        assert r1.pi_code == r2.pi_code == 0x4242
+        assert r1.station_label == r2.station_label == "SCANRUNR"
+        assert s1.groups_decoded > 10 and s2.groups_decoded > 10
