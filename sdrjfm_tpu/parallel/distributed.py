@@ -1,0 +1,144 @@
+"""Distributed building blocks for sharding the fm-rate chain.
+
+These are the shard_map-side equivalents of the core recurrences in
+ops/blockops.py, for use inside a 1-D `time` mesh (SCALING.md roadmap):
+
+  dist_fir / dist_fir_decimate : convolution with a ppermute left halo
+  dist_linrec                  : y[n] = g*y[n-1] + d[n] across devices —
+                                 local prefix scan + all-gathered
+                                 (g^T_local, y_free_last) pairs folded in a
+                                 fixed order on every device (deterministic
+                                 for a given mesh size)
+  dist_runlength               : consecutive-true run length across devices
+                                 via all-gathered (all_true, end_run) pairs
+
+Each helper is written to be called INSIDE shard_map over axis `axis`; unit
+tests (tests/test_distributed.py) assert equality with the single-device
+primitives on an 8-way CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import blockops as B
+
+Array = jax.Array
+
+
+def left_halo(x_local: Array, halo_len: int, first_carry: Array,
+              axis: str) -> Array:
+    """Tail of the left ring neighbour; device 0 takes `first_carry`."""
+    n = jax.lax.axis_size(axis)
+    tail = x_local[-halo_len:]
+    left = jax.lax.ppermute(tail, axis, perm=[(i, i + 1) for i in range(n - 1)])
+    idx = jax.lax.axis_index(axis)
+    return jnp.where(idx == 0, first_carry, left)
+
+
+def dist_fir(x_local: Array, kernel: Array, stream_carry: Array,
+             axis: str) -> Tuple[Array, Array]:
+    """Sharded causal FIR; returns (y_local, candidate tail).
+
+    The *stream* carry for the next block is the last device's tail — the
+    caller gathers tails (or slices the global input) to update state.
+    """
+    halo = left_halo(x_local, kernel.shape[0] - 1, stream_carry, axis)
+    y, tail = B.fir_apply(x_local, kernel, halo)
+    return y, tail
+
+
+def dist_fir_decimate(x_local: Array, kernel: Array, factor: int,
+                      stream_carry: Array, axis: str) -> Tuple[Array, Array]:
+    halo = left_halo(x_local, kernel.shape[0] - 1, stream_carry, axis)
+    y, tail = B.fir_decimate(x_local, kernel, factor, halo)
+    return y, tail
+
+
+def dist_fft_filter(x_local: Array, response: Array, hop: int,
+                    stream_carry: Array, axis: str) -> Tuple[Array, Array]:
+    halo_len = response.shape[0] - hop
+    halo = left_halo(x_local, halo_len, stream_carry, axis)
+    y, tail = B.fft_filter_apply(x_local, response, hop, halo)
+    return y, tail
+
+
+def dist_linrec(drive_local: Array, g: float, y0, axis: str
+                ) -> Tuple[Array, Array]:
+    """First-order recurrence across the mesh.
+
+    y[n] = g*y[n-1] + drive[n] over the concatenated stream; y0 is the
+    stream state entering device 0.  Returns (y_local, y_final) where
+    y_final (the stream carry) is identical on every device.
+
+    Decomposition: with local free response f (zero entry state) and
+    G = g^T_local, the entry state of device d is
+        c_d = G^d * y0 + sum_{k<d} G^(d-1-k) * f_k[-1]
+    computed identically on every device from the all-gathered pairs, then
+    y_local = f + g^(n+1) * c_d.
+    """
+    T = drive_local.shape[0]
+    y_free, _ = B.linrec_apply(drive_local, g, jnp.zeros((), drive_local.dtype))
+    G = jnp.asarray(g, drive_local.dtype) ** T
+    last = y_free[-1]
+    lasts = jax.lax.all_gather(last, axis)            # [P]
+    P = lasts.shape[0]
+
+    def fold(c, k):
+        return c * G + lasts[k], None
+
+    idx = jax.lax.axis_index(axis)
+    # entry state for THIS device: fold predecessors 0..idx-1
+    def body(k, c):
+        return jnp.where(k < idx, c * G + lasts[k], c)
+
+    c_d = jax.lax.fori_loop(0, P, body,
+                            jnp.asarray(y0, drive_local.dtype))
+    decay = jnp.asarray(g, drive_local.dtype) ** (
+        jnp.arange(1, T + 1, dtype=jnp.float32).astype(
+            jnp.float32 if drive_local.dtype != jnp.complex64 else jnp.float32))
+    decay = decay.astype(drive_local.dtype)
+    y_local = y_free + decay * c_d
+
+    def body_all(k, c):
+        return c * G + lasts[k]
+
+    y_final = jax.lax.fori_loop(0, P, body_all,
+                                jnp.asarray(y0, drive_local.dtype))
+    return y_local, y_final
+
+
+def dist_ema(x_local: Array, alpha: float, y0, axis: str):
+    return dist_linrec(alpha * x_local, 1.0 - alpha, y0, axis)
+
+
+def dist_runlength(flags_local: Array, r0, axis: str) -> Tuple[Array, Array]:
+    """Consecutive-true run length across the mesh; r0 enters device 0."""
+    T = flags_local.shape[0]
+    rl_zero, _ = B.runlength_true(flags_local, 0)
+    all_true = jnp.all(flags_local)
+    end_zero = rl_zero[-1]
+    pairs = jax.lax.all_gather(jnp.stack([all_true.astype(jnp.int32),
+                                          jnp.asarray(end_zero, jnp.int32)]),
+                               axis)                   # [P, 2]
+    P = pairs.shape[0]
+    idx = jax.lax.axis_index(axis)
+
+    def body(k, c):
+        run_in = jnp.where(pairs[k, 0] == 1, c + T, pairs[k, 1])
+        return jnp.where(k < idx, run_in, c)
+
+    r_in = jax.lax.fori_loop(0, P, body, jnp.asarray(r0, jnp.int32))
+    # prefix of leading Trues extends the incoming run
+    lead_true = jnp.cumsum(flags_local.astype(jnp.int32)) \
+        == jnp.arange(1, T + 1)
+    rl = jnp.where(flags_local & lead_true, rl_zero + r_in, rl_zero)
+
+    def body_all(k, c):
+        return jnp.where(pairs[k, 0] == 1, c + T, pairs[k, 1])
+
+    r_final = jax.lax.fori_loop(0, P, body_all, jnp.asarray(r0, jnp.int32))
+    return rl, r_final
