@@ -425,15 +425,35 @@ class Receiver:
     # bit timing — is inherently stream-ordered; see parallel/sharding.py).
     # ------------------------------------------------------------------
     def fm_chain(self, state: ReceiverState, controls: Controls, v: Array,
-                 fe_updates: dict) -> Tuple[ReceiverState, Output]:
+                 fe_updates: dict,
+                 shard_axis: Optional[str] = None
+                 ) -> Tuple[ReceiverState, Output]:
+        """192 kS/s chain.  With `shard_axis` (inside shard_map over a time
+        mesh) every stage runs on the device-local slice: convolutions take
+        ppermute halos, trackers use the distributed recurrence
+        decomposition, and the small sequential glue (PSS scalar scan, RDS
+        bit grid) runs replicated on all-gathered reductions.  Stream
+        carries are then replicated values (candidate tails resolved to the
+        last device's)."""
         cfg = self.cfg
+        sharded = shard_axis is not None
+        if sharded:
+            from ..parallel import distributed as DD
+            assert cfg.squelch == "off", "squelch not sharded yet"
+            assert not cfg.test_tone, "test tone not sharded yet"
+            assert cfg.audio_rate == cfg.working_rate, \
+                "audio upsampler not sharded yet"
+            assert cfg.rds in ("off", "block")
+
+            def stream_tail(t):
+                return jax.lax.all_gather(t, shard_axis)[-1]
         taps = {} if cfg.emit_taps else None
         if taps is not None:
             taps["if_filtered"] = v
 
         # --- discriminator ---------------------------------------------------
         demod, demod_state, carrier = demodulate_block(
-            v, state.demod, cfg.decoder, cfg.fm_rate)
+            v, state.demod, cfg.decoder, cfg.fm_rate, shard_axis=shard_axis)
         if taps is not None:
             taps["demod"] = demod
 
@@ -448,13 +468,15 @@ class Receiver:
                 squelch_state)
 
         # --- pilot recovery --------------------------------------------------
-        pblock, pilot_state = recover_pilot(demod, self.pilot_cfg, state.pilot)
+        pblock, pilot_state = recover_pilot(demod, self.pilot_cfg, state.pilot,
+                                            shard_axis=shard_axis)
         base_phase = 2.0 * (pblock.phase + jnp.pi / 4.0)
 
         # --- PSS -------------------------------------------------------------
         pss_off, pss_state = pss_adapt(
             demod, base_phase, pblock.locked, self.pss_cfg, state.pss,
-            active=(cfg.pss_active and cfg.mode != "mono"))
+            active=(cfg.pss_active and cfg.mode != "mono"),
+            shard_axis=shard_axis)
 
         # --- stereo matrix (process_signal_with_rds fm-processor.cpp:704-727,
         # matrix :517-549) ----------------------------------------------------
@@ -494,33 +516,66 @@ class Receiver:
         rds57_filt, rds_decim_c, bitrec_state = (state.rds57_filt,
                                                  state.rds_decim, state.bitrec)
         if cfg.rds != "off":
-            rds_base, rds57_filt = B.fft_filter_apply(
-                demod.astype(jnp.complex64), jnp.asarray(self.H_rds57),
-                cfg.fm_hop, state.rds57_filt)
-            # the analytic 57k signal at n carries the input of time n-D; mix
-            # with the pilot phase of the same instant (the reference keeps a
-            # RDS_SAMPLE_DELAY-deep phase buffer for this, fm-processor.cpp:
-            # 733-746; our delay is the kernel group delay)
-            phase_del, phase_delay = B.delay_apply(pblock.phase,
-                                                   state.phase_delay)
+            dz = demod.astype(jnp.complex64)
+            if not sharded:
+                rds_base, rds57_filt = B.fft_filter_apply(
+                    dz, jnp.asarray(self.H_rds57), cfg.fm_hop,
+                    state.rds57_filt)
+                # the analytic 57k signal at n carries the input of time n-D;
+                # mix with the pilot phase of the same instant (the reference
+                # keeps a RDS_SAMPLE_DELAY-deep phase buffer for this,
+                # fm-processor.cpp:733-746; ours is the kernel group delay)
+                phase_del, phase_delay = B.delay_apply(pblock.phase,
+                                                       state.phase_delay)
+            else:
+                rds_base, rds57_filt = DD.dist_fft_filter(
+                    dz, jnp.asarray(self.H_rds57), cfg.fm_hop,
+                    state.rds57_filt, shard_axis)
+                d = state.phase_delay.shape[0]
+                halo = DD.left_halo(pblock.phase, d, state.phase_delay,
+                                    shard_axis)
+                phase_del = jnp.concatenate([halo, pblock.phase]
+                                            )[: pblock.phase.shape[0]]
+                phase_delay = pblock.phase[-d:]
             the_phase = 3.0 * phase_del
             mixer = jax.lax.complex(jnp.cos(the_phase), -jnp.sin(the_phase))
             rds_bb = rds_base * mixer
-            z24, rds_decim_c = B.fir_decimate(
-                rds_bb, jnp.asarray(self.k_rds_decim), 8, state.rds_decim)
+            if not sharded:
+                z24, rds_decim_c = B.fir_decimate(
+                    rds_bb, jnp.asarray(self.k_rds_decim), 8, state.rds_decim)
+            else:
+                z24, rds_decim_c = DD.dist_fir_decimate(
+                    rds_bb, jnp.asarray(self.k_rds_decim), 8,
+                    state.rds_decim, shard_axis)
             if taps is not None:
                 taps["rds_baseband"] = z24
-            if cfg.rds != "off":
+            if not sharded:
                 rds_out, bitrec_state = self._recover_bits(z24, state.bitrec)
+            else:
+                # 24 kS/s: gather and decode replicated (bit-identical on
+                # every device)
+                z24_g = jax.lax.all_gather(z24, shard_axis, tiled=True)
+                rds_out, bitrec_state = self._recover_bits(z24_g, state.bitrec)
         else:
             phase_delay = state.phase_delay
 
         # --- audio filter + deemphasis (fm-processor.cpp:589-595) ------------
         audio_filt = state.audio_filt
         if self.H_audio is not None:
-            audio, audio_filt = B.fft_filter_apply(
-                audio, jnp.asarray(self.H_audio), cfg.fm_hop, state.audio_filt)
-        audio, deemph_last = B.ema_apply(audio, self.deemph_alpha, state.deemph)
+            if not sharded:
+                audio, audio_filt = B.fft_filter_apply(
+                    audio, jnp.asarray(self.H_audio), cfg.fm_hop,
+                    state.audio_filt)
+            else:
+                audio, audio_filt = DD.dist_fft_filter(
+                    audio, jnp.asarray(self.H_audio), cfg.fm_hop,
+                    state.audio_filt, shard_axis)
+        if not sharded:
+            audio, deemph_last = B.ema_apply(audio, self.deemph_alpha,
+                                             state.deemph)
+        else:
+            audio, deemph_last = DD.dist_ema(audio, self.deemph_alpha,
+                                             state.deemph, shard_axis)
 
         # --- volume / balance (audioGainCorrection :303-336) -----------------
         audio = jax.lax.complex(
@@ -528,16 +583,25 @@ class Receiver:
             jnp.imag(audio) * controls.volume * controls.right_gain)
 
         # --- ÷4 to workingRate ----------------------------------------------
-        pcm, audio_decim = B.fir_decimate(
-            audio, jnp.asarray(self.k_audio_decim),
-            cfg.fm_rate // cfg.working_rate, state.audio_decim)
+        if not sharded:
+            pcm, audio_decim = B.fir_decimate(
+                audio, jnp.asarray(self.k_audio_decim),
+                cfg.fm_rate // cfg.working_rate, state.audio_decim)
+        else:
+            pcm, audio_decim = DD.dist_fir_decimate(
+                audio, jnp.asarray(self.k_audio_decim),
+                cfg.fm_rate // cfg.working_rate, state.audio_decim,
+                shard_axis)
 
         # --- startup/retune ramp (fm-processor.cpp:130-131,638-642) ----------
         Tw = cfg.block_working
+        Tw_local = pcm.shape[0]
         ramp_max = cfg.working_rate // 2
         pos = ramp_max - state.ramp_remaining
-        gain = jnp.clip((pos + jnp.arange(Tw, dtype=jnp.float32)) / ramp_max,
-                        0.0, 1.0)
+        if sharded:
+            pos = pos + jax.lax.axis_index(shard_axis) * Tw_local
+        gain = jnp.clip((pos + jnp.arange(Tw_local, dtype=jnp.float32))
+                        / ramp_max, 0.0, 1.0)
         pcm = pcm * gain
         ramp_remaining = jnp.maximum(state.ramp_remaining - Tw, 0)
 
@@ -559,15 +623,22 @@ class Receiver:
         # --- peak meter (evaluatePeakLevel :772-798) -------------------------
         peak_l = jnp.max(jnp.abs(jnp.real(pcm)))
         peak_r = jnp.max(jnp.abs(jnp.imag(pcm)))
+        if sharded:
+            peak_l = jnp.max(jax.lax.all_gather(peak_l, shard_axis))
+            peak_r = jnp.max(jax.lax.all_gather(peak_r, shard_axis))
         to_db = lambda p: jnp.where(p > 0, 20.0 * jnp.log10(jnp.maximum(p, 1e-10)),
                                     -40.0)
 
+        hold = int(C.PILOT_LOCK_STABLE_S * cfg.fm_rate)
         meta = Meta(
-            pilot_locked=pblock.locked[-1],
-            pilot_strength=pblock.strength[-1],
+            pilot_locked=(pilot_state.lock_run > hold if sharded
+                          else pblock.locked[-1]),
+            pilot_strength=(pilot_state.lock_metric if sharded
+                            else pblock.strength[-1]),
             dc_rf_db=20.0 * jnp.log10(jnp.abs(fe_updates["rf_dc"]) + 1.0 / 32768.0),
             dc_if=demod_state.fm_afc,
-            pss_phase_deg=pss_off[-1] / jnp.pi * 180.0,
+            pss_phase_deg=(pss_state.acc if sharded else pss_off[-1])
+                          / jnp.pi * 180.0,
             pss_established=pss_state.minimized,
             peak_left_db=to_db(peak_l),
             peak_right_db=to_db(peak_r),
@@ -580,6 +651,20 @@ class Receiver:
             up = cfg.audio_rate // cfg.working_rate
             pcm, audio_up_state = B.fir_interpolate(
                 pcm, jnp.asarray(self.k_audio_up), up, state.audio_up)
+
+        if sharded:
+            # resolve per-device candidate tails to the stream's (last
+            # device's); scalar carries are already replicated
+            pilot_state = pilot_state._replace(
+                filt=stream_tail(pilot_state.filt))
+            pss_state = pss_state._replace(tail=stream_tail(pss_state.tail))
+            if cfg.rds != "off":
+                rds57_filt = stream_tail(rds57_filt)
+                rds_decim_c = stream_tail(rds_decim_c)
+                phase_delay = stream_tail(phase_delay)
+            if self.H_audio is not None:
+                audio_filt = stream_tail(audio_filt)
+            audio_decim = stream_tail(audio_decim)
 
         new_state = ReceiverState(
             n0_mod=fe_updates["n0_mod"], rf_dc=fe_updates["rf_dc"],

@@ -62,22 +62,38 @@ def _normalize(z: Array) -> Array:
 
 
 def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
-                     rate: int = C.FM_RATE) -> Tuple[Array, DemodState, Array]:
+                     rate: int = C.FM_RATE,
+                     shard_axis=None) -> Tuple[Array, DemodState, Array]:
     """Demodulate a block of complex baseband at the fm rate.
 
     Returns (audio-rate-192k demod [T] float32, new state, carrier amplitude
     track [T] for the level squelch).  Output scaling matches the reference:
     20*(res - afc)/K_FM (fm-demodulator.cpp:205).
+
+    With `shard_axis` (inside shard_map over a time mesh) the 1-2 sample
+    lookback crosses the device boundary via ppermute and the trackers use
+    the distributed recurrence decomposition.
     """
+    if shard_axis is None:
+        _ema = lambda x, a, y0: ema_apply(x, a, y0)
+    else:
+        from ..parallel.distributed import dist_ema
+        _ema = lambda x, a, y0: dist_ema(x, a, y0, shard_axis)
+
     mag = jnp.abs(z)
-    am_track, am_last = ema_apply(mag, C.CARRIER_ALPHA, state.am_carr)
+    am_track, am_last = _ema(mag, C.CARRIER_ALPHA, state.am_carr)
 
     zn = _normalize(z)
-    p1 = jnp.concatenate([state.prev1[None], zn[:-1]])
+    if shard_axis is None:
+        prev1_in = state.prev1
+    else:
+        from ..parallel.distributed import left_halo
+        prev1_in = left_halo(zn, 1, state.prev1[None], shard_axis)[0]
+    p1 = jnp.concatenate([prev1_in[None], zn[:-1]])
 
     if decoder == "am":
         res = _decode_am(mag, am_track)
-        afc_track, afc_last = ema_apply(res * 0, C.FM_DC_ALPHA, state.fm_afc)
+        afc_track, afc_last = _ema(res * 0, C.FM_DC_ALPHA, state.fm_afc)
         new = state._replace(prev1=zn[-1], prev2=zn[-2], am_carr=am_last,
                              fm_afc=afc_last)
         return res, new, am_track
@@ -94,21 +110,31 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
         u = jnp.clip(u, 0.0, 1.0)
         res = jnp.arcsin(2.0 * u - 1.0) / 2.0
     elif decoder == "difference":
+        if shard_axis is not None:
+            raise NotImplementedError("difference decoder not sharded yet")
         p2 = jnp.concatenate([state.prev2[None], state.prev1[None], zn[:-2]])
         num = (jnp.real(p1) * (jnp.imag(zn) - jnp.imag(p2))
                - jnp.imag(p1) * (jnp.real(zn) - jnp.real(p2)))
         den = (jnp.real(p1) ** 2 + jnp.imag(p1) ** 2) * jnp.sqrt(2.0)
         res = num / den
     elif decoder == "pll":
+        if shard_axis is not None:
+            raise NotImplementedError("pll decoder not sharded yet")
         res, pll_incr_last = _decode_pll_block(zn, state, rate)
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
-    afc_track, afc_last = ema_apply(res, C.FM_DC_ALPHA, state.fm_afc)
+    afc_track, afc_last = _ema(res, C.FM_DC_ALPHA, state.fm_afc)
     out = C.DEMOD_GAIN * (res - afc_track) / C.k_fm(rate)
 
-    new = state._replace(prev1=zn[-1],
-                         prev2=zn[-2] if z.shape[0] >= 2 else state.prev1,
+    if shard_axis is None:
+        prev1_new = zn[-1]
+        prev2_new = zn[-2] if z.shape[0] >= 2 else state.prev1
+    else:
+        # the stream's trailing samples live on the last device; replicate
+        tail2 = jax.lax.all_gather(zn[-2:], shard_axis, tiled=True)
+        prev1_new, prev2_new = tail2[-1], tail2[-2]
+    new = state._replace(prev1=prev1_new, prev2=prev2_new,
                          fm_afc=afc_last, am_carr=am_last)
     if decoder == "pll":
         new = new._replace(pll_incr=pll_incr_last)

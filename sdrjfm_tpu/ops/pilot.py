@@ -80,19 +80,33 @@ class PilotBlock(NamedTuple):
     strength: Array           # [T] lock strength track
 
 
-def recover_pilot(demod: Array, cfg: PilotConfig,
-                  state: PilotState) -> Tuple[PilotBlock, PilotState]:
-    """Estimate per-sample pilot phase/lock over a block of demod at fmRate."""
+def recover_pilot(demod: Array, cfg: PilotConfig, state: PilotState,
+                  shard_axis=None) -> Tuple[PilotBlock, PilotState]:
+    """Estimate per-sample pilot phase/lock over a block of demod at fmRate.
+
+    With `shard_axis` the bandpass halo rides ppermute and the lock
+    metric/counter use the distributed decompositions."""
     H = jnp.asarray(cfg.response)
-    p, filt = fft_filter_apply((5.0 * demod).astype(jnp.complex64), H,
-                               cfg.hop, state.filt)
+    x = (5.0 * demod).astype(jnp.complex64)
+    if shard_axis is None:
+        p, filt = fft_filter_apply(x, H, cfg.hop, state.filt)
+    else:
+        from ..parallel.distributed import dist_fft_filter
+        p, filt = dist_fft_filter(x, H, cfg.hop, state.filt, shard_axis)
     w19 = 2.0 * jnp.pi * C.PILOT_FREQUENCY / cfg.rate
     phase = jnp.angle(p) + (w19 * cfg.group_delay + jnp.pi)
-    strength, metric_last = ema_apply(jnp.abs(p), C.PILOT_LOCK_ALPHA,
-                                      state.lock_metric)
-    above = strength > C.PILOT_LOCK_THRESHOLD
+    if shard_axis is None:
+        strength, metric_last = ema_apply(jnp.abs(p), C.PILOT_LOCK_ALPHA,
+                                          state.lock_metric)
+        run, run_last = runlength_true(
+            strength > C.PILOT_LOCK_THRESHOLD, state.lock_run)
+    else:
+        from ..parallel.distributed import dist_ema, dist_runlength
+        strength, metric_last = dist_ema(jnp.abs(p), C.PILOT_LOCK_ALPHA,
+                                         state.lock_metric, shard_axis)
+        run, run_last = dist_runlength(
+            strength > C.PILOT_LOCK_THRESHOLD, state.lock_run, shard_axis)
     hold = int(C.PILOT_LOCK_STABLE_S * cfg.rate)
-    run, run_last = runlength_true(above, state.lock_run)
     locked = run > hold
     new = PilotState(filt=filt, lock_metric=metric_last, lock_run=run_last)
     return PilotBlock(phase=phase, locked=locked, strength=strength), new

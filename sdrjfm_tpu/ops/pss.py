@@ -90,7 +90,7 @@ def pss_zero_state_like(st: PSSState) -> PSSState:
 
 def pss_adapt(demod: Array, base_phase: Array, locked: Array,
               cfg: PSSConfig, state: PSSState,
-              active: bool = True) -> Tuple[Array, PSSState]:
+              active: bool = True, shard_axis=None) -> Tuple[Array, PSSState]:
     """Adapt the PSS phase offset over one block.
 
     demod      : [T] demodulated MPX at fmRate
@@ -113,11 +113,21 @@ def pss_adapt(demod: Array, base_phase: Array, locked: Array,
     # batched part: filter the rotated-to-baseband L-R band once
     u = jax.lax.complex(jnp.cos(base_phase), jnp.sin(base_phase)) \
         * demod.astype(jnp.float32)
-    F, tail = fir_apply(u, jnp.asarray(cfg.kernel), state.tail)
+    if shard_axis is None:
+        F, tail = fir_apply(u, jnp.asarray(cfg.kernel), state.tail)
+    else:
+        from ..parallel.distributed import dist_fir
+        F, tail = dist_fir(u, jnp.asarray(cfg.kernel), state.tail, shard_axis)
     G = (F * F).reshape(nsub, S)                       # complex
     S_k = jnp.sum(G, axis=1)                           # [nsub]
     W_k = jnp.sum(G * jnp.asarray(cfg.ema_weights)[None, :], axis=1)
     sub_locked = locked.reshape(nsub, S)[:, 0]
+    if shard_axis is not None:
+        # gather the tiny per-sub-block reductions; the scalar scan then
+        # runs replicated (identical on every device)
+        S_k = jax.lax.all_gather(S_k, shard_axis, tiled=True)
+        W_k = jax.lax.all_gather(W_k, shard_axis, tiled=True)
+        sub_locked = jax.lax.all_gather(sub_locked, shard_axis, tiled=True)
 
     decay = jnp.float32(cfg.ema_decay)
 
@@ -146,5 +156,9 @@ def pss_adapt(demod: Array, base_phase: Array, locked: Array,
     scan_state = state._replace(tail=jnp.zeros((0,), jnp.complex64))
     new_state, accs = jax.lax.scan(step, scan_state, (S_k, W_k, sub_locked))
     new_state = new_state._replace(tail=tail)
+    if shard_axis is not None:
+        # slice this device's segment of the global offset sequence
+        idx = jax.lax.axis_index(shard_axis)
+        accs = jax.lax.dynamic_slice(accs, (idx * nsub,), (nsub,))
     offsets = jnp.repeat(accs, S)
     return offsets, new_state

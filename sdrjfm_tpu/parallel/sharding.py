@@ -45,6 +45,80 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+class FullyShardedReceiver:
+    """Receiver step with BOTH the front end and the fm chain partitioned
+    over a 1-D time mesh (SCALING.md roadmap realised): convolutions take
+    ppermute halos, trackers use the distributed prefix decomposition, and
+    only the tiny sequential glue (PSS scalar scan, 24 kS/s RDS bit grid)
+    runs replicated on all-gathered reductions.
+
+    Audio is numerically equivalent (not bit-exact) to the single-chip run:
+    the distributed prefix reassociates fp32 sums (~1e-5).  The front-end-
+    only `ShardedReceiver` below remains the bit-exact configuration.
+    """
+
+    def __init__(self, rx: Receiver, mesh: Mesh, axis: str = AXIS):
+        self.rx = rx
+        self.mesh = mesh
+        self.axis = axis
+        n = int(mesh.devices.size)
+        cfg = rx.cfg
+        t_fm_local = cfg.block_fm // n
+        assert cfg.block_in % n == 0
+        assert t_fm_local % cfg.fm_hop == 0, (t_fm_local, cfg.fm_hop)
+        assert t_fm_local % rx.pss_cfg.subblock == 0
+        assert (cfg.block_in // n) % 12 == 0
+        self.iq_sharding = NamedSharding(mesh, P(axis))
+        self.replicated = NamedSharding(mesh, P())
+
+        import inspect
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        params = inspect.signature(shard_map).parameters
+        _relax = ({"check_vma": False} if "check_vma" in params
+                  else {"check_rep": False})
+
+        def body(state, controls, iq_local):
+            v_local, (dc, in_tail, t1, t2) = rx.front_end(
+                state, controls, iq_local, shard_axis=axis)
+            tails = tuple(t[None] if t is not None else None
+                          for t in (in_tail, t1, t2))
+            fe_updates = dict(
+                n0_mod=(state.n0_mod + cfg.block_in) % cfg.input_rate,
+                rf_dc=dc, input_filt=None, band1=None, band2=None)
+            new_state, out = rx.fm_chain(state, controls, v_local,
+                                         fe_updates, shard_axis=axis)
+            return new_state, out, tails
+
+        from ..models.receiver import Output
+        out_spec_output = Output(audio=P(axis), meta=P(), rds=P(), taps=P())
+        self._body = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=(P(), out_spec_output, P(axis)),
+            **_relax)
+
+        def step(state, controls, iq):
+            new_state, out, (in_tails, tails1, tails2) = self._body(
+                state, controls, iq)
+            new_state = new_state._replace(
+                input_filt=(in_tails[-1] if cfg.input_filter
+                            else state.input_filt),
+                band1=tails1[-1], band2=tails2[-1])
+            return new_state, out
+
+        self._step = jax.jit(step, in_shardings=(None, None, self.iq_sharding))
+
+    def init_state(self):
+        return jax.device_put(self.rx.init_state(), self.replicated)
+
+    def step(self, state, controls, iq):
+        iq = jax.device_put(iq, self.iq_sharding)
+        return self._step(state, controls, iq)
+
+
 class ShardedReceiver:
     """Receiver step partitioned over a 1-D time mesh."""
 

@@ -58,3 +58,58 @@ def test_dryrun_multichip_entry():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_fully_sharded_step_equivalent():
+    """Front end + fm chain both sharded (8-way): audio numerically matches
+    the single-chip run and the RDS stream decodes to the same groups."""
+    from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
+    from sdrjfm_tpu.rds import encode
+    from sdrjfm_tpu.rds.blocksync import BlockSynchronizer, Group
+    from sdrjfm_tpu.rds.groups import GroupDecoder
+
+    cfg = ReceiverConfig(block_fm=32768, rds="block", audio_filter_hz=15000)
+    rx = Receiver(cfg)
+    name_bits = []
+    for _ in range(30):                      # name-heavy stream: 0A groups only
+        for seg in range(4):
+            name_bits.extend(encode.group_0a(0x7777, 10, seg,
+                                             "FULSHARD"[2 * seg:2 * seg + 2]))
+    syms = encode.differential_encode(np.asarray(name_bits, np.int8))
+    n_fm = cfg.block_fm * 10
+    t = np.arange(n_fm) / C.FM_RATE
+    mpx = synth.synth_mpx(0.7 * np.sin(2 * np.pi * 1000.0 * t),
+                          0.3 * np.sin(2 * np.pi * 2500.0 * t),
+                          synth.MPXParams(rds_level=0.08), rds_bits=syms)
+    iq = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in * 10]
+    controls = default_controls()
+
+    step1 = jax.jit(rx.step)
+    s1 = rx.init_state()
+    srx = FullyShardedReceiver(rx, make_mesh(8))
+    s8 = srx.init_state()
+
+    audio1, audio8, bits1, bits8 = [], [], [], []
+    for b in range(10):
+        blk = jnp.asarray(iq[b * cfg.block_in:(b + 1) * cfg.block_in])
+        s1, o1 = step1(s1, controls, blk)
+        s8, o8 = srx.step(s8, controls, blk)
+        audio1.append(np.asarray(o1.audio))
+        audio8.append(np.asarray(o8.audio))
+        bits1.append(np.asarray(o1.rds.bits)[: int(o1.rds.count)])
+        bits8.append(np.asarray(o8.rds.bits)[: int(o8.rds.count)])
+
+    a1 = np.concatenate(audio1)
+    a8 = np.concatenate(audio8)
+    np.testing.assert_allclose(a8, a1, atol=2e-4)
+
+    def decode(bits):
+        sync, dec, grp = BlockSynchronizer(), GroupDecoder(), Group()
+        sync.push_bits(np.concatenate(bits), grp, on_group=dec.decode)
+        return sync, dec.result
+
+    sy1, r1 = decode(bits1)
+    sy8, r8 = decode(bits8)
+    assert r1.pi_code == r8.pi_code == 0x7777
+    assert r1.station_label == r8.station_label == "FULSHARD"
+    assert sy8.groups_decoded > 10
