@@ -67,6 +67,21 @@ def _build_rx_parser(sub):
     p.add_argument("--load-state", help="resume from a saved DSP state")
 
 
+def _build_scan_parser(sub):
+    p = sub.add_parser("scan", help="band-scan a capture, identify stations")
+    p.add_argument("--iq", required=True)
+    p.add_argument("--grid", type=int, default=100_000,
+                   help="scan grid in Hz (the FM band raster)")
+    p.add_argument("--threshold", type=float, default=20.0,
+                   help="signal/noise contrast threshold in dB")
+    p.add_argument("--identify", action="store_true",
+                   help="tune each hit and decode RDS (PI/station/PTY)")
+    p.add_argument("--seconds", type=float, default=3.0,
+                   help="capture seconds to demodulate per station")
+    p.add_argument("--stations", help="write/update a station list JSON")
+    p.add_argument("--block-fm", type=int, default=32768)
+
+
 def _build_synth_parser(sub):
     p = sub.add_parser("synth", help="generate a stereo+RDS IQ test capture")
     p.add_argument("--out", required=True)
@@ -202,6 +217,66 @@ def cmd_rx(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    from . import constants as C
+    from .io.wavio import read_iq_wav
+    from .models.receiver import Receiver, ReceiverConfig
+    from .models.tuner import RadioController
+    from .runtime.stream import run_offline
+    from .rds.blocksync import BlockSynchronizer, Group
+    from .rds.groups import GroupDecoder
+
+    iq, rate = read_iq_wav(args.iq)
+    rc = RadioController(Receiver(ReceiverConfig(block_fm=args.block_fm,
+                                                 rds="off")))
+    T = rc.rx.cfg.block_in
+    if len(iq) < T:
+        print(f"capture too short: need {T} samples", file=sys.stderr)
+        return 1
+    found = rc.scan(iq[:T], grid_hz=args.grid, threshold_db=args.threshold)
+    print(f"scan: {len(found)} hit(s) at offsets {found}", file=sys.stderr)
+    results = []
+    for off in found:
+        entry = {"offset_hz": off}
+        if args.identify:
+            n = min(len(iq), int(args.seconds * C.INPUT_RATE))
+            rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="block",
+                                         audio_filter_hz=15000))
+            from .models.receiver import default_controls
+            controls = default_controls()._replace(
+                lo_freq_hz=jnp.asarray(off, jnp.int32))
+            res = run_offline(rx, iq[:n], controls)
+            entry["pilot_locked"] = bool(res.meta[-1]["pilot_locked"])
+            if res.rds_bits is not None:
+                sync = BlockSynchronizer()
+                dec = GroupDecoder()
+                grp = Group()
+                sync.push_bits(res.rds_bits, grp, on_group=dec.decode)
+                r = dec.result
+                if sync.groups_decoded:
+                    entry.update(pi_code=f"0x{r.pi_code:04X}",
+                                 station=r.station_label.strip(),
+                                 pty=r.pty_text,
+                                 groups=sync.groups_decoded,
+                                 ber=sync.bit_error_rate)
+            print(f"  offset {off:+d} Hz: {entry}", file=sys.stderr)
+        results.append(entry)
+    if args.stations:
+        from .io.stations import StationList
+        sl = StationList.load(args.stations)
+        for e in results:
+            if e.get("station"):
+                sl.add(e["station"], e["offset_hz"],
+                       pi_code=int(e["pi_code"], 16), pty=e.get("pty"))
+        sl.save(args.stations)
+        print(f"wrote {args.stations}", file=sys.stderr)
+    json.dump({"hits": results}, sys.stdout, indent=2)
+    print()
+    return 0
+
+
 def cmd_synth(args) -> int:
     import numpy as np
     from . import constants as C
@@ -234,10 +309,13 @@ def main(argv=None) -> int:
                                  description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
     _build_rx_parser(sub)
+    _build_scan_parser(sub)
     _build_synth_parser(sub)
     args = ap.parse_args(argv)
     if args.cmd == "rx":
         return cmd_rx(args)
+    if args.cmd == "scan":
+        return cmd_scan(args)
     if args.cmd == "synth":
         return cmd_synth(args)
     return 2
