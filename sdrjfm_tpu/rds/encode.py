@@ -68,3 +68,13 @@ def differential_encode(bits: np.ndarray, initial: int = 0) -> np.ndarray:
     differential decode b[k] = s[k] XOR s[k-1])."""
     s = np.cumsum(bits.astype(np.int64)) + initial
     return (s & 1).astype(np.int8)
+
+
+def group_4a(pi: int, pty: int, mjd: int, hours: int, minutes: int,
+             offset_half_hours: int = 0) -> List[int]:
+    """Clock-time/date group (decoded by rds-groupdecoder.cpp:287-295)."""
+    b = (4 << 12) | (pty << 5) | ((mjd >> 15) & 0x3)
+    c = mjd & 0xFFFF
+    d = ((hours & 0xF) << 12) | ((minutes & 0x3F) << 6) \
+        | (offset_half_hours & 0x4F)
+    return encode_group(pi, b, c, d)
