@@ -17,12 +17,24 @@ Complex data travels as separate float32 planes (the axon backend dislikes
 eager complex buffers, and planar f32 is the natural VMEM layout anyway).
 
 STATUS: semantics validated in interpret mode (tests/test_pallas_frontend.py);
-the Mosaic TPU lowering currently rejects the kernel's 1-D->2-D vector
-reshapes ("infer-vector-layout: unsupported shape cast"), so the hardware
-path needs a phase-major HBM layout (transpose the padded input to
-[12, T/12] so the polyphase rows arrive lane-aligned and the in-kernel
-reshapes disappear) — scheduled for the next perf round.  Until then the
-production front end is the XLA composite ÷12 in models/receiver.py.
+the Mosaic TPU lowering rejects the kernel's 1-D->2-D vector reshapes
+("infer-vector-layout: unsupported shape cast").  Engineering analysis of the
+fix options (kept here so the next perf round doesn't re-derive it):
+
+  * phase-major layout [12, T/12]: makes the polyphase rows lane-aligned and
+    the NCO expressible trig-free via modular-digit factor tables
+    (e^{-j th} = t0 * A[m mod 512] * B[m//512] * R[p], each a small table or
+    per-row scalar), BUT requires an XLA transpose into the kernel and a
+    12-row partial-sum array out of it — ~25 MB extra HBM per block, which
+    cancels the fused kernel's ~30 MB saving.  Net zero.
+  * time-major with in-kernel relayout (99,128)->(1056,12): blocked on the
+    Mosaic shape-cast limitation.
+  * strided/column DMA per phase: 4-byte DMA granularity, unusable.
+
+Conclusion: on v5e the XLA composite ÷12 path is already within ~2x of the
+input-read roofline, and a Pallas win needs Mosaic relayout support; the
+production front end stays models/receiver.py's XLA path.  The kernel and
+its interpret-mode tests remain as the validated starting point.
 """
 
 from __future__ import annotations
