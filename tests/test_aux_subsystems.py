@@ -161,3 +161,44 @@ class TestScanRunner:
         assert r1.pi_code == r2.pi_code == 0x4242
         assert r1.station_label == r2.station_label == "SCANRUNR"
         assert s1.groups_decoded > 10 and s2.groups_decoded > 10
+
+
+class TestWavFormats:
+    def test_pcm16_roundtrip(self, tmp_path):
+        from sdrjfm_tpu.io.wavio import read_wav, write_wav
+        x = (np.sin(np.linspace(0, 20, 4800))[:, None]
+             * np.asarray([[0.5, -0.25]])).astype(np.float32)
+        p = str(tmp_path / "a.wav")
+        write_wav(p, x, 48000, float32=False)
+        y, info = read_wav(p)
+        assert (info.rate, info.channels, info.fmt) == (48000, 2, 1)
+        np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+    def test_float32_roundtrip(self, tmp_path):
+        from sdrjfm_tpu.io.wavio import read_wav, write_wav
+        x = np.random.default_rng(0).standard_normal((1000, 1)).astype(np.float32)
+        p = str(tmp_path / "b.wav")
+        write_wav(p, x, 192000, float32=True)
+        y, info = read_wav(p)
+        assert info.fmt == 3 and info.rate == 192000
+        np.testing.assert_array_equal(y, x)
+
+    def test_pcm24_read(self, tmp_path):
+        """Hand-built 24-bit PCM file reads correctly."""
+        import struct
+        vals = np.asarray([0, 1 << 22, -(1 << 22), (1 << 23) - 1], np.int64)
+        payload = b""
+        for v in vals:
+            u = int(v) & 0xFFFFFF
+            payload += struct.pack("<I", u)[:3]
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000,
+                                     48000 * 3, 3, 24)
+        hdr += b"data" + struct.pack("<I", len(payload))
+        p = str(tmp_path / "c.wav")
+        open(p, "wb").write(hdr + payload)
+        from sdrjfm_tpu.io.wavio import read_wav
+        y, info = read_wav(p)
+        assert info.sampwidth == 3
+        np.testing.assert_allclose(
+            y[:, 0], vals / (1 << 23), atol=1e-6)
