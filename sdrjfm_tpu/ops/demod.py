@@ -94,7 +94,8 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
     if decoder == "am":
         res = _decode_am(mag, am_track)
         afc_track, afc_last = _ema(res * 0, C.FM_DC_ALPHA, state.fm_afc)
-        new = state._replace(prev1=zn[-1], prev2=zn[-2], am_carr=am_last,
+        p1n, p2n = _stream_tail2(zn, state, shard_axis)
+        new = state._replace(prev1=p1n, prev2=p2n, am_carr=am_last,
                              fm_afc=afc_last)
         return res, new, am_track
 
@@ -127,18 +128,20 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
     afc_track, afc_last = _ema(res, C.FM_DC_ALPHA, state.fm_afc)
     out = C.DEMOD_GAIN * (res - afc_track) / C.k_fm(rate)
 
-    if shard_axis is None:
-        prev1_new = zn[-1]
-        prev2_new = zn[-2] if z.shape[0] >= 2 else state.prev1
-    else:
-        # the stream's trailing samples live on the last device; replicate
-        tail2 = jax.lax.all_gather(zn[-2:], shard_axis, tiled=True)
-        prev1_new, prev2_new = tail2[-1], tail2[-2]
+    prev1_new, prev2_new = _stream_tail2(zn, state, shard_axis)
     new = state._replace(prev1=prev1_new, prev2=prev2_new,
                          fm_afc=afc_last, am_carr=am_last)
     if decoder == "pll":
         new = new._replace(pll_incr=pll_incr_last)
     return out.astype(jnp.float32), new, am_track
+
+
+def _stream_tail2(zn: Array, state: DemodState, shard_axis):
+    """(z[-1], z[-2]) of the global stream — on the last device when sharded."""
+    if shard_axis is None:
+        return zn[-1], (zn[-2] if zn.shape[0] >= 2 else state.prev1)
+    tail2 = jax.lax.all_gather(zn[-2:], shard_axis, tiled=True)
+    return tail2[-1], tail2[-2]
 
 
 def _decode_am(mag: Array, carr: Array) -> Array:

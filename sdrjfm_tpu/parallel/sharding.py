@@ -68,6 +68,9 @@ class FullyShardedReceiver:
         assert t_fm_local % cfg.fm_hop == 0, (t_fm_local, cfg.fm_hop)
         assert t_fm_local % rx.pss_cfg.subblock == 0
         assert (cfg.block_in // n) % 12 == 0
+        assert (cfg.block_in // n) % rx.DC_SUBSAMPLE == 0
+        if cfg.input_filter:
+            assert (cfg.block_in // n) % cfg.input_hop == 0
         self.iq_sharding = NamedSharding(mesh, P(axis))
         self.replicated = NamedSharding(mesh, P())
 

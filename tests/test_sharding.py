@@ -113,3 +113,28 @@ def test_fully_sharded_step_equivalent():
     assert r1.pi_code == r8.pi_code == 0x7777
     assert r1.station_label == r8.station_label == "FULSHARD"
     assert sy8.groups_decoded > 10
+
+
+def test_fully_sharded_am_decoder_equivalent():
+    """Sharded AM path matches single-chip (guards the stream-tail carry)."""
+    from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
+    cfg = ReceiverConfig(block_fm=32768, rds="off", decoder="am", mode="mono",
+                         audio_filter_hz=15000)
+    rx = Receiver(cfg)
+    n = cfg.block_in * 3
+    t = np.arange(n) / C.INPUT_RATE
+    iq = (0.3 * (1.0 + 0.5 * np.sin(2 * np.pi * 1000.0 * t))
+          ).astype(np.complex64)
+    controls = default_controls()
+    step1 = jax.jit(rx.step)
+    s1 = rx.init_state()
+    srx = FullyShardedReceiver(rx, make_mesh(8))
+    s8 = srx.init_state()
+    for b in range(3):
+        blk = jnp.asarray(iq[b * cfg.block_in:(b + 1) * cfg.block_in])
+        s1, o1 = step1(s1, controls, blk)
+        s8, o8 = srx.step(s8, controls, blk)
+        np.testing.assert_allclose(np.asarray(o8.audio),
+                                   np.asarray(o1.audio), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s8.demod.prev1),
+                               np.asarray(s1.demod.prev1), atol=1e-6)
