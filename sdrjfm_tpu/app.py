@@ -174,6 +174,9 @@ def cmd_rx(args) -> int:
             "station_label": r.station_label,
             "radio_text": r.radio_text,
             "af_frequencies_khz": [f / 1000.0 for f in r.af_frequencies],
+            "music_speech": ({0: "speech", 1: "music"}.get(r.music_speech)
+                            if r.music_speech is not None else None),
+            "di_code": r.di_code,
             "clock_time": r.clock_time,
             "group_counts": {str(k): v for k, v in r.group_counts.items()},
         }

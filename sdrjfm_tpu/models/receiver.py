@@ -495,6 +495,9 @@ class Receiver:
             lr_diff = lr_diff * cfg.panorama
         left = lr_sum + lr_diff
         right = lr_sum - lr_diff
+        if taps is not None:
+            taps["af_sum"] = lr_sum
+            taps["af_diff"] = lr_diff
         sound = cfg.sound
         if sound == "stereo":
             audio = jax.lax.complex(left, right)
@@ -576,6 +579,11 @@ class Receiver:
         else:
             audio, deemph_last = DD.dist_ema(audio, self.deemph_alpha,
                                              state.deemph, shard_axis)
+
+        if taps is not None:
+            taps["af_left_filtered"] = jnp.real(audio)
+            taps["af_right_filtered"] = jnp.imag(audio)
+            taps["af_mono_filtered"] = jnp.real(audio) + jnp.imag(audio)
 
         # --- volume / balance (audioGainCorrection :303-336) -----------------
         audio = jax.lax.complex(
