@@ -439,11 +439,8 @@ class Receiver:
         sharded = shard_axis is not None
         if sharded:
             from ..parallel import distributed as DD
-            assert cfg.squelch == "off", "squelch not sharded yet"
-            assert not cfg.test_tone, "test tone not sharded yet"
-            assert cfg.audio_rate == cfg.working_rate, \
-                "audio upsampler not sharded yet"
-            assert cfg.rds in ("off", "block")
+            assert cfg.rds in ("off", "block"), \
+                "scan RDS decoders are per-sample sequential; use rds='block'"
 
             def stream_tail(t):
                 return jax.lax.all_gather(t, shard_axis)[-1]
@@ -461,11 +458,12 @@ class Receiver:
         squelch_state = state.squelch
         if cfg.squelch == "nsq":
             demod, squelch_state = noise_squelch(
-                demod, controls.squelch_level, self.squelch_cfg, squelch_state)
+                demod, controls.squelch_level, self.squelch_cfg, squelch_state,
+                shard_axis=shard_axis)
         elif cfg.squelch == "lsq":
             demod, squelch_state = level_squelch(
                 demod, carrier, controls.squelch_level, self.squelch_cfg,
-                squelch_state)
+                squelch_state, shard_axis=shard_axis)
 
         # --- pilot recovery --------------------------------------------------
         pblock, pilot_state = recover_pilot(demod, self.pilot_cfg, state.pilot,
@@ -618,7 +616,10 @@ class Receiver:
         if cfg.test_tone:
             period = 2 * cfg.working_rate
             dur = cfg.working_rate // 40
-            idx = (state.tone_index + jnp.arange(Tw, dtype=jnp.int32)) % period
+            base = state.tone_index
+            if sharded:
+                base = base + jax.lax.axis_index(shard_axis) * Tw_local
+            idx = (base + jnp.arange(Tw_local, dtype=jnp.int32)) % period
             burst = idx < dur
             tone = 0.9 * jnp.sin(2.0 * jnp.pi * 1000.0 / cfg.working_rate
                                  * idx.astype(jnp.float32))
@@ -657,8 +658,13 @@ class Receiver:
         audio_up_state = state.audio_up
         if self.k_audio_up is not None:
             up = cfg.audio_rate // cfg.working_rate
-            pcm, audio_up_state = B.fir_interpolate(
-                pcm, jnp.asarray(self.k_audio_up), up, state.audio_up)
+            if not sharded:
+                pcm, audio_up_state = B.fir_interpolate(
+                    pcm, jnp.asarray(self.k_audio_up), up, state.audio_up)
+            else:
+                pcm, audio_up_state = DD.dist_fir_interpolate(
+                    pcm, jnp.asarray(self.k_audio_up), up, state.audio_up,
+                    shard_axis)
 
         if sharded:
             # resolve per-device candidate tails to the stream's (last
@@ -673,6 +679,8 @@ class Receiver:
             if self.H_audio is not None:
                 audio_filt = stream_tail(audio_filt)
             audio_decim = stream_tail(audio_decim)
+            if self.k_audio_up is not None:
+                audio_up_state = stream_tail(audio_up_state)
 
         new_state = ReceiverState(
             n0_mod=fe_updates["n0_mod"], rf_dc=fe_updates["rf_dc"],

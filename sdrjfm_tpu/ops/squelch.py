@@ -66,29 +66,46 @@ def squelch_zero_state(cfg: SquelchConfig) -> SquelchState:
 
 
 def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
-                  state: SquelchState) -> Tuple[Array, SquelchState]:
+                  state: SquelchState,
+                  shard_axis=None) -> Tuple[Array, SquelchState]:
     """Apply noise squelch to a demod block.
 
     level : traced scalar 0..100 (slider); threshold = 1 - level/100.
     Decision timing uses a fixed per-block lattice (hold periods aligned to
     the block, T % hold == 0) — equivalent cadence to the reference's free-
     running counter.
+
+    With `shard_axis` (inside shard_map over a time mesh) the band filters
+    and decaying averages run on the device-local slice via the distributed
+    recurrence decomposition; the tiny 23 Hz decision scan runs replicated
+    on the all-gathered period-end averages, and each device slices its
+    hold-period gates.  Requires T_local % hold_period == 0.
     """
     T = x.shape[0]
     H = cfg.hold_period
-    assert T % H == 0
+    assert T % H == 0, (T, H)
     nper = T // H
     thr = 1.0 - jnp.asarray(level, jnp.float32) / 100.0
 
-    v1, hp_state = iir_apply(x, cfg.hp, state.hp_state)
-    v2, lp_state = iir_apply(x, cfg.lp, state.lp_state)
     w = 1.0 / (cfg.rate / 100.0)        # decayingAverage weight
-    ah, ah_last = ema_apply(jnp.abs(v1), w, state.avg_high)
-    al, al_last = ema_apply(jnp.abs(v2), w, state.avg_low)
+    if shard_axis is None:
+        v1, hp_state = iir_apply(x, cfg.hp, state.hp_state)
+        v2, lp_state = iir_apply(x, cfg.lp, state.lp_state)
+        ah, ah_last = ema_apply(jnp.abs(v1), w, state.avg_high)
+        al, al_last = ema_apply(jnp.abs(v2), w, state.avg_low)
+    else:
+        from ..parallel import distributed as DD
+        v1, hp_state = DD.dist_iir(x, cfg.hp, state.hp_state, shard_axis)
+        v2, lp_state = DD.dist_iir(x, cfg.lp, state.lp_state, shard_axis)
+        ah, ah_last = DD.dist_ema(jnp.abs(v1), w, state.avg_high, shard_axis)
+        al, al_last = DD.dist_ema(jnp.abs(v2), w, state.avg_low, shard_axis)
 
     # decision at the end of each hold period
     ah_p = ah.reshape(nper, H)[:, -1]
     al_p = al.reshape(nper, H)[:, -1]
+    if shard_axis is not None:
+        ah_p = jax.lax.all_gather(ah_p, shard_axis, tiled=True)
+        al_p = jax.lax.all_gather(al_p, shard_axis, tiled=True)
 
     def decide(sup, inp):
         a_h, a_l = inp
@@ -99,6 +116,9 @@ def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
         return sup, sup
 
     sup_last, sup_seq = jax.lax.scan(decide, state.suppress, (ah_p, al_p))
+    if shard_axis is not None:
+        idx = jax.lax.axis_index(shard_axis)
+        sup_seq = jax.lax.dynamic_slice(sup_seq, (idx * nper,), (nper,))
     gate = jnp.repeat(~sup_seq, H).astype(x.dtype)
     new = SquelchState(hp_state=hp_state, lp_state=lp_state, avg_high=ah_last,
                        avg_low=al_last, suppress=sup_last, phase=state.phase)
@@ -106,19 +126,26 @@ def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
 
 
 def level_squelch(x: Array, carrier: Array, level: Array, cfg: SquelchConfig,
-                  state: SquelchState) -> Tuple[Array, SquelchState]:
+                  state: SquelchState,
+                  shard_axis=None) -> Tuple[Array, SquelchState]:
     """Level squelch on the tracked carrier amplitude [T]."""
     T = x.shape[0]
     H = cfg.hold_period
+    assert T % H == 0, (T, H)
     nper = T // H
     thr = jnp.power(10.0, (jnp.asarray(level, jnp.float32) - 80.0) / 30.0)
     c_p = carrier.reshape(nper, H)[:, -1]
+    if shard_axis is not None:
+        c_p = jax.lax.all_gather(c_p, shard_axis, tiled=True)
 
     def decide(sup, c):
         sup = jnp.where(c < thr, True, jnp.where(c >= thr, False, sup))
         return sup, sup
 
     sup_last, sup_seq = jax.lax.scan(decide, state.suppress, c_p)
+    if shard_axis is not None:
+        idx = jax.lax.axis_index(shard_axis)
+        sup_seq = jax.lax.dynamic_slice(sup_seq, (idx * nper,), (nper,))
     gate = jnp.repeat(~sup_seq, H).astype(x.dtype)
     new = state._replace(suppress=sup_last)
     return x * gate, new

@@ -115,6 +115,87 @@ def dist_ema(x_local: Array, alpha: float, y0, axis: str):
     return dist_linrec(alpha * x_local, 1.0 - alpha, y0, axis)
 
 
+def dist_linrec_multi(drive_local: Array, gs: Array, y0s: Array,
+                      axis: str) -> Tuple[Array, Array]:
+    """P first-order recurrences sharing one drive, across the mesh.
+
+    y_p[n] = gs[p] * y_p[n-1] + drive[n]; y0s [P] enters device 0.
+    Returns (y_local [P, T_local], y_final [P] replicated).  The batched
+    cousin of `dist_linrec`, used for the pole bank of a sharded IIR
+    cascade (blockops.IIRSpec poles are complex one-pole recurrences).
+    """
+    T = drive_local.shape[0]
+    gs = jnp.asarray(gs, drive_local.dtype)
+
+    def one(g):
+        y, _ = B.linrec_apply(drive_local, g,
+                              jnp.zeros((), drive_local.dtype))
+        return y
+
+    y_free = jax.vmap(one)(gs)                          # [P, T]
+    # exact cumulative decay (same multiplication tree as linrec_apply's
+    # prefix product, so the entry-state term rounds identically)
+    decay = jax.lax.associative_scan(
+        jnp.multiply, jnp.broadcast_to(gs[:, None], y_free.shape), axis=1)
+    G = decay[:, -1]                                    # gs^T
+    lasts = jax.lax.all_gather(y_free[:, -1], axis)     # [D, P]
+    Dn = lasts.shape[0]
+    idx = jax.lax.axis_index(axis)
+    c0 = jnp.asarray(y0s, drive_local.dtype)
+
+    def body(k, c):
+        return jnp.where(k < idx, c * G + lasts[k], c)
+
+    c_d = jax.lax.fori_loop(0, Dn, body, c0)            # entry state [P]
+    y_local = y_free + decay * c_d[:, None]
+
+    def body_all(k, c):
+        return c * G + lasts[k]
+
+    y_final = jax.lax.fori_loop(0, Dn, body_all, c0)
+    return y_local, y_final
+
+
+def dist_iir(x_local: Array, spec, state, axis: str):
+    """Sharded biquad cascade (blockops.iir_apply on a time mesh).
+
+    The numerator FIR takes a ppermute halo; the pole bank runs through the
+    distributed prefix decomposition.  Returned state is fully replicated
+    (pole states by construction, FIR history resolved to the stream tail),
+    so it can be threaded directly as the next block's carry.
+    """
+    wstate, fir_carry = state
+    num = jnp.asarray(spec.num)
+    if num.shape[0] > 1:
+        xb, tail_cand = dist_fir(x_local, num, fir_carry, axis)
+        fir_tail = jax.lax.all_gather(tail_cand, axis)[-1]
+    else:
+        xb = x_local * num[0]
+        fir_tail = fir_carry
+    xc = xb.astype(jnp.complex64)
+    ys, wT = dist_linrec_multi(xc, jnp.asarray(spec.poles), wstate, axis)
+    y = jnp.real(jnp.sum(jnp.asarray(spec.residues)[:, None] * ys, axis=0))
+    return y, (wT, fir_tail)
+
+
+def dist_fir_interpolate(x_local: Array, kernel: Array, factor: int,
+                         stream_carry: Array, axis: str
+                         ) -> Tuple[Array, Array]:
+    """Sharded polyphase interpolation; returns (y_local, candidate tail).
+
+    Each device emits factor*T_local outputs, so the concatenation over the
+    mesh is the global interpolated stream.  Caller resolves the stream
+    carry to the last device's tail.
+    """
+    K = kernel.shape[0]
+    phases = (K + factor - 1) // factor
+    if phases > 1:
+        halo = left_halo(x_local, phases - 1, stream_carry, axis)
+    else:
+        halo = stream_carry
+    return B.fir_interpolate(x_local, kernel, factor, halo)
+
+
 def dist_runlength(flags_local: Array, r0, axis: str) -> Tuple[Array, Array]:
     """Consecutive-true run length across the mesh; r0 enters device 0."""
     T = flags_local.shape[0]

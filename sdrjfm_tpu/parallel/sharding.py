@@ -69,6 +69,11 @@ class FullyShardedReceiver:
         assert t_fm_local % rx.pss_cfg.subblock == 0
         assert (cfg.block_in // n) % 12 == 0
         assert (cfg.block_in // n) % rx.DC_SUBSAMPLE == 0
+        if cfg.squelch != "off":
+            assert t_fm_local % rx.squelch_cfg.hold_period == 0, \
+                (t_fm_local, rx.squelch_cfg.hold_period)
+        if cfg.audio_rate != cfg.working_rate:
+            assert t_fm_local % (cfg.fm_rate // cfg.working_rate) == 0
         if cfg.input_filter:
             assert (cfg.block_in // n) % cfg.input_hop == 0
         self.iq_sharding = NamedSharding(mesh, P(axis))

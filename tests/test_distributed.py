@@ -96,6 +96,52 @@ def test_dist_runlength_matches_single():
     assert int(got_last) == int(want_last)
 
 
+def test_dist_iir_matches_single():
+    mesh = make_mesh(8)
+    from sdrjfm_tpu.ops.squelch import make_squelch_config
+    spec = make_squelch_config(192000).hp          # order-10 cheby1 highpass
+    x = RNG.standard_normal(8 * 2048).astype(np.float32)
+    from sdrjfm_tpu.ops.blockops import iir_apply
+    import jax.numpy as jnp
+    state0 = (jnp.zeros((len(spec.poles),), jnp.complex64),
+              jnp.zeros((len(spec.num) - 1,), jnp.float32))
+    want, (want_w, want_f) = iir_apply(jnp.asarray(x), spec, state0)
+
+    def f(xl):
+        y, (wT, ft) = D.dist_iir(xl, spec, state0, AXIS)
+        return y, wT, ft
+
+    got, got_w, got_f = _smap(f, mesh, (P(AXIS),), (P(AXIS), P(), P()))(
+        jnp.asarray(x))
+    scale = np.max(np.abs(np.asarray(want))) + 1e-9
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_dist_fir_interpolate_matches_single():
+    mesh = make_mesh(8)
+    from sdrjfm_tpu.ops import design
+    k = jnp.asarray(design.polyphase_resampler_kernel(4), jnp.float32)
+    phases = (k.shape[0] + 3) // 4
+    x = RNG.standard_normal(8 * 512).astype(np.float32)
+    carry = jnp.asarray(RNG.standard_normal(phases - 1), jnp.float32
+                        ).astype(jnp.complex64)
+    xc = jnp.asarray(x).astype(jnp.complex64)
+    want, want_tail = B.fir_interpolate(xc, k, 4, carry)
+
+    def f(xl):
+        y, tail = D.dist_fir_interpolate(xl, k, 4, carry, AXIS)
+        return y, tail
+
+    got, got_tails = _smap(f, mesh, (P(AXIS),), (P(AXIS), P(AXIS)))(xc)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_tails)[-(phases - 1):],
+                                  np.asarray(want_tail))
+
+
 def test_dist_runlength_all_true():
     mesh = make_mesh(8)
     flags = np.ones(8 * 256, bool)

@@ -115,6 +115,52 @@ def test_fully_sharded_step_equivalent():
     assert sy8.groups_decoded > 10
 
 
+def test_fully_sharded_squelch_tone_upsample_equivalent():
+    """The last three stages to be sharded — noise squelch, test tone, and
+    the 192 kHz audio upsampler — must match the single-chip run."""
+    from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
+    cfg = ReceiverConfig(block_fm=65536, rds="off", squelch="nsq",
+                         test_tone=True, audio_rate=192000,
+                         audio_filter_hz=15000)
+    rx = Receiver(cfg)
+    iq = _make_iq(4, cfg)
+    controls = default_controls()._replace(
+        squelch_level=jnp.asarray(30.0, jnp.float32))
+
+    step1 = jax.jit(rx.step)
+    s1 = rx.init_state()
+    srx = FullyShardedReceiver(rx, make_mesh(8))
+    s8 = srx.init_state()
+    for b in range(4):
+        blk = jnp.asarray(iq[b * cfg.block_in:(b + 1) * cfg.block_in])
+        s1, o1 = step1(s1, controls, blk)
+        s8, o8 = srx.step(s8, controls, blk)
+        np.testing.assert_allclose(np.asarray(o8.audio),
+                                   np.asarray(o1.audio), atol=5e-4)
+    assert bool(s8.squelch.suppress) == bool(s1.squelch.suppress)
+    assert int(s8.tone_index) == int(s1.tone_index)
+
+
+def test_fully_sharded_level_squelch_equivalent():
+    from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
+    cfg = ReceiverConfig(block_fm=65536, rds="off", squelch="lsq")
+    rx = Receiver(cfg)
+    iq = _make_iq(3, cfg)
+    controls = default_controls()._replace(
+        squelch_level=jnp.asarray(60.0, jnp.float32))
+    step1 = jax.jit(rx.step)
+    s1 = rx.init_state()
+    srx = FullyShardedReceiver(rx, make_mesh(8))
+    s8 = srx.init_state()
+    for b in range(3):
+        blk = jnp.asarray(iq[b * cfg.block_in:(b + 1) * cfg.block_in])
+        s1, o1 = step1(s1, controls, blk)
+        s8, o8 = srx.step(s8, controls, blk)
+        np.testing.assert_allclose(np.asarray(o8.audio),
+                                   np.asarray(o1.audio), atol=5e-4)
+    assert bool(s8.squelch.suppress) == bool(s1.squelch.suppress)
+
+
 def test_fully_sharded_am_decoder_equivalent():
     """Sharded AM path matches single-chip (guards the stream-tail carry)."""
     from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
