@@ -65,6 +65,12 @@ def _build_rx_parser(sub):
     p.add_argument("--save-state", help="write the DSP carry state (npz) at "
                                         "the end of the run")
     p.add_argument("--load-state", help="resume from a saved DSP state")
+    p.add_argument("--runner", default="loop", choices=["loop", "scan"],
+                   help="block driver: python loop (streaming-shaped) or one "
+                        "lax.scan dispatch over the whole capture (fastest)")
+    p.add_argument("--log-meta", help="write per-block metadata as JSON lines "
+                                      "(the reference's periodic freq/pilot "
+                                      "log, radio.cpp:1811-1823)")
 
 
 def _build_scan_parser(sub):
@@ -102,7 +108,7 @@ def cmd_rx(args) -> int:
     from . import constants as C
     from .io.wavio import read_iq_wav, write_wav
     from .models.receiver import Controls, Receiver, ReceiverConfig
-    from .runtime.stream import run_offline
+    from .runtime.stream import run_offline, run_offline_scanned
     from .rds.blocksync import BlockSynchronizer, Group
     from .rds.groups import GroupDecoder
 
@@ -136,11 +142,13 @@ def cmd_rx(args) -> int:
     init_state = None
     if args.load_state:
         from .runtime.checkpoint import load_state
-        init_state, ck_meta = load_state(args.load_state, rx.init_state())
+        init_state, ck_meta = load_state(args.load_state, rx.init_state(),
+                                         cfg=cfg)
         print(f"resumed state from {args.load_state} {ck_meta}",
               file=sys.stderr)
-    res = run_offline(rx, iq, controls, collect_taps=want_taps,
-                      init_state=init_state)
+    runner = run_offline_scanned if args.runner == "scan" else run_offline
+    res = runner(rx, iq, controls, collect_taps=want_taps,
+                 init_state=init_state)
     dt = time.time() - t0
     n_in = (len(iq) // cfg.block_in) * cfg.block_in
     rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")
@@ -208,8 +216,18 @@ def cmd_rx(args) -> int:
     if args.save_state and res.final_state is not None:
         from .runtime.checkpoint import save_state
         save_state(args.save_state, res.final_state,
-                   {"blocks": len(res.meta)})
+                   {"blocks": len(res.meta)}, cfg=cfg)
         print(f"wrote {args.save_state}", file=sys.stderr)
+    if args.log_meta:
+        blk_s = cfg.block_fm / cfg.fm_rate
+        with open(args.log_meta, "w") as f:
+            for b, m in enumerate(res.meta):
+                rec = {"block": b, "t_s": round((b + 1) * blk_s, 6),
+                       "freq_offset_hz": args.freq_offset}
+                rec.update(m)
+                f.write(json.dumps(rec) + "\n")
+        print(f"wrote {args.log_meta} ({len(res.meta)} records)",
+              file=sys.stderr)
     if args.report:
         with open(args.report, "w") as f:
             json.dump(report, f, indent=2)

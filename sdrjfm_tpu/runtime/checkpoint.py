@@ -6,15 +6,34 @@ the block design the carry pytree *is* the complete DSP state, so
 checkpointing is exact: save the state + the global stream position, restore,
 and the continued stream is bit-identical to an uninterrupted run
 (tests/test_checkpoint.py asserts this).
+
+Format: npz of flattened leaves + a JSON header with a format version and a
+config fingerprint.  Loading verifies both — a checkpoint from a different
+receiver configuration (different filter lengths, block geometry, decoder)
+fails with a clear message instead of a shape assert deep in the tree.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import Any, Tuple
 
 import jax
 import numpy as np
+
+FORMAT_VERSION = 1
+
+
+class CheckpointError(RuntimeError):
+    pass
+
+
+def config_fingerprint(cfg) -> str:
+    """Stable hash of a ReceiverConfig (any dataclass with repr fields)."""
+    from dataclasses import asdict
+    blob = json.dumps(asdict(cfg), sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def _flatten_with_paths(tree):
@@ -22,26 +41,60 @@ def _flatten_with_paths(tree):
     return flat, treedef
 
 
-def save_state(path: str, state: Any, extra: dict | None = None) -> None:
-    """Save a state pytree (and optional JSON-able metadata) to an npz."""
+def save_state(path: str, state: Any, extra: dict | None = None,
+               cfg=None) -> None:
+    """Save a state pytree (and optional JSON-able metadata) to an npz.
+
+    cfg: optional ReceiverConfig; its fingerprint is stored and verified at
+    load time.
+    """
     flat, _ = _flatten_with_paths(state)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(flat)}
+    header = {"format_version": FORMAT_VERSION, "n_leaves": len(flat),
+              "extra": extra or {}}
+    if cfg is not None:
+        header["config_fingerprint"] = config_fingerprint(cfg)
     arrays["__meta__"] = np.frombuffer(
-        json.dumps(extra or {}).encode(), dtype=np.uint8)
+        json.dumps(header).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
 
-def load_state(path: str, template: Any) -> Tuple[Any, dict]:
+def load_state(path: str, template: Any, cfg=None) -> Tuple[Any, dict]:
     """Restore a state pytree using `template` (e.g. rx.init_state()) for
-    structure/dtype; returns (state, metadata)."""
+    structure/dtype; returns (state, metadata).
+
+    cfg: optional ReceiverConfig to verify against the stored fingerprint.
+    """
     data = np.load(path)
+    raw = json.loads(bytes(data["__meta__"].tobytes()).decode() or "{}")
+    # v0 checkpoints stored the extra dict directly (no header)
+    if "format_version" in raw:
+        header, extra = raw, raw.get("extra", {})
+    else:
+        header, extra = {"format_version": 0}, raw
+    if header["format_version"] > FORMAT_VERSION:
+        raise CheckpointError(
+            f"checkpoint {path} has format v{header['format_version']}, "
+            f"this build reads up to v{FORMAT_VERSION}")
+    if cfg is not None and header.get("config_fingerprint"):
+        want = config_fingerprint(cfg)
+        if header["config_fingerprint"] != want:
+            raise CheckpointError(
+                f"checkpoint {path} was written by a different receiver "
+                f"configuration (fingerprint {header['config_fingerprint']} "
+                f"!= {want}); rebuild with the matching ReceiverConfig")
     flat, treedef = _flatten_with_paths(template)
-    n = len(flat)
+    if header.get("n_leaves") not in (None, len(flat)):
+        raise CheckpointError(
+            f"checkpoint {path} has {header['n_leaves']} state leaves, "
+            f"this configuration expects {len(flat)}")
     leaves = []
     for i, t in enumerate(flat):
         v = data[f"leaf_{i}"]
         t_arr = np.asarray(t)
-        assert v.shape == t_arr.shape, (i, v.shape, t_arr.shape)
+        if v.shape != t_arr.shape:
+            raise CheckpointError(
+                f"state leaf {i}: shape {v.shape} != expected {t_arr.shape} "
+                "(checkpoint from a different configuration?)")
         leaves.append(jax.numpy.asarray(v.astype(t_arr.dtype)))
-    meta = json.loads(bytes(data["__meta__"].tobytes()).decode() or "{}")
-    return jax.tree_util.tree_unflatten(treedef, leaves), meta
+    return jax.tree_util.tree_unflatten(treedef, leaves), extra

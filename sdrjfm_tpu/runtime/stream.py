@@ -58,6 +58,43 @@ def run_offline_scan(rx: Receiver, iq: np.ndarray,
     return run(state, blocks, controls)
 
 
+def run_offline_scanned(rx: Receiver, iq: np.ndarray,
+                        controls: Optional[Controls] = None,
+                        drop_blocks: int = 0,
+                        collect_taps: bool = False,
+                        init_state=None) -> StreamResult:
+    """`run_offline_scan` with the stacked Output unpacked to a StreamResult.
+
+    Same result contract as `run_offline`, but the whole capture is ONE
+    dispatched program (lax.scan over blocks) — the throughput path for long
+    captures, where the per-block dispatch latency of the Python loop
+    dominates (~25 us/block over the axon tunnel, ROADMAP.md).
+    """
+    state, outs = run_offline_scan(rx, iq, controls, init_state=init_state)
+    nblocks = outs.audio.shape[0]
+    audio = np.asarray(outs.audio)[drop_blocks:].reshape(-1, 2)
+    metas = []
+    meta_np = {k: np.asarray(v) for k, v in outs.meta._asdict().items()}
+    for b in range(drop_blocks, nblocks):
+        metas.append({k: v[b].item() for k, v in meta_np.items()})
+    res = StreamResult(audio=audio, meta=metas, final_state=state)
+    if outs.rds is not None:
+        all_bits = np.asarray(outs.rds.bits)
+        all_iq = np.asarray(outs.rds.iq)
+        counts = np.asarray(outs.rds.count)
+        bits, biq = [], []
+        for b in range(drop_blocks, nblocks):
+            n = int(counts[b])
+            bits.append(all_bits[b, :n])
+            biq.append(all_iq[b, :n])
+        res.rds_bits = np.concatenate(bits)
+        res.rds_iq = np.concatenate(biq)
+    if collect_taps and outs.taps:
+        res.taps = {k: np.asarray(v)[drop_blocks:].reshape(-1)
+                    for k, v in outs.taps.items()}
+    return res
+
+
 def run_offline(rx: Receiver, iq: np.ndarray,
                 controls: Optional[Controls] = None,
                 drop_blocks: int = 0,

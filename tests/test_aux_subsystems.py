@@ -53,6 +53,32 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.concatenate(outs[nb // 2:]),
                                       np.concatenate(outs2))
 
+    def test_config_fingerprint_mismatch(self, tmp_path):
+        import pytest
+        from sdrjfm_tpu.runtime.checkpoint import CheckpointError
+        cfg_a = ReceiverConfig(block_fm=32768, rds="off")
+        cfg_b = ReceiverConfig(block_fm=32768, rds="off", deemphasis_us=75.0)
+        rx = Receiver(cfg_a)
+        path = str(tmp_path / "ck.npz")
+        save_state(path, rx.init_state(), cfg=cfg_a)
+        load_state(path, rx.init_state(), cfg=cfg_a)   # ok
+        with pytest.raises(CheckpointError):
+            load_state(path, Receiver(cfg_b).init_state(), cfg=cfg_b)
+
+    def test_v0_checkpoint_still_loads(self, tmp_path):
+        """Pre-versioning npz (bare extra dict in __meta__) loads as v0."""
+        import jax, json
+        rx = Receiver(ReceiverConfig(block_fm=32768, rds="off"))
+        state = rx.init_state()
+        flat, _ = jax.tree_util.tree_flatten(state)
+        arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(flat)}
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps({"pos": 3}).encode(), dtype=np.uint8)
+        path = str(tmp_path / "v0.npz")
+        np.savez(path, **arrays)
+        s, meta = load_state(path, rx.init_state())
+        assert meta["pos"] == 3
+
 
 class TestSources:
     def test_wav_source_contract(self, tmp_path):

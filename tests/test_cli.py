@@ -1,0 +1,100 @@
+"""CLI surface tests: synth -> rx roundtrip, runners, meta log, state flags.
+
+The CLI is the framework's user surface (the reference's GUI equivalent,
+radio.cpp/main.cpp); these drive it in-process through app.main.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from sdrjfm_tpu.app import main
+from sdrjfm_tpu.io.wavio import read_wav
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    iq = str(d / "iq.wav")
+    rc = main(["synth", "--out", iq, "--seconds", "3",
+               "--station", "CLITEST", "--radiotext", "CLI ROUNDTRIP",
+               "--pi", "0xBEEF", "--pty", "4"])
+    assert rc == 0
+    return iq
+
+
+def _rx(capture, tmp_path, *extra):
+    audio = str(tmp_path / "audio.wav")
+    report = str(tmp_path / "report.json")
+    rc = main(["rx", "--iq", capture, "--audio", audio, "--rds",
+               "--report", report, "--block-fm", "32768", *extra])
+    assert rc == 0
+    return audio, json.load(open(report))
+
+
+def test_rx_roundtrip_report(capture, tmp_path):
+    audio, rep = _rx(capture, tmp_path)
+    assert rep["rds"]["pi_code"] == "0xBEEF"
+    assert rep["rds"]["station_label"].strip() == "CLITEST"
+    assert rep["rds"]["bit_error_rate"] == 0.0
+    assert rep["meta_last"]["pilot_locked"] is True
+    x, info = read_wav(audio)
+    assert info.rate == 48000 and info.channels == 2
+    assert 0.2 < float((x ** 2).mean() ** 0.5) < 0.9
+
+
+def test_scan_runner_matches_loop(capture, tmp_path):
+    a1, r1 = _rx(capture, tmp_path, "--runner", "loop")
+    (tmp_path / "s").mkdir()
+    a2, r2 = _rx(capture, tmp_path / "s", "--runner", "scan")
+    assert r2["rds"]["station_label"] == r1["rds"]["station_label"]
+    assert r2["rds"]["groups_decoded"] == r1["rds"]["groups_decoded"]
+    x1, _ = read_wav(a1)
+    x2, _ = read_wav(a2)
+    # scan-body fusion differs from standalone jit at fp level; PCM16 rounds
+    # identically almost everywhere
+    assert np.mean(x1 != x2) < 0.01
+    assert r2["blocks"] == r1["blocks"]
+
+
+def test_log_meta_jsonl(capture, tmp_path):
+    log = str(tmp_path / "meta.jsonl")
+    audio = str(tmp_path / "a.wav")
+    rc = main(["rx", "--iq", capture, "--audio", audio,
+               "--block-fm", "32768", "--log-meta", log])
+    assert rc == 0
+    recs = [json.loads(line) for line in open(log)]
+    assert len(recs) >= 5
+    assert recs[0]["block"] == 0 and recs[1]["t_s"] > recs[0]["t_s"]
+    for k in ("pilot_locked", "pilot_strength", "dc_rf_db", "pss_phase_deg",
+              "peak_left_db", "freq_offset_hz"):
+        assert k in recs[0]
+    assert recs[-1]["pilot_locked"] is True
+
+
+def test_save_load_state_roundtrip(capture, tmp_path):
+    st = str(tmp_path / "state.npz")
+    a1 = str(tmp_path / "a1.wav")
+    rc = main(["rx", "--iq", capture, "--audio", a1,
+               "--block-fm", "32768", "--save-state", st])
+    assert rc == 0
+    a2 = str(tmp_path / "a2.wav")
+    rc = main(["rx", "--iq", capture, "--audio", a2,
+               "--block-fm", "32768", "--load-state", st])
+    assert rc == 0
+    # resumed run starts with converged trackers -> no startup ramp repeat
+    x2, _ = read_wav(a2)
+    assert float(np.abs(x2[:100]).mean()) > 0.0
+
+
+def test_load_state_config_mismatch_fails(capture, tmp_path):
+    st = str(tmp_path / "state.npz")
+    a = str(tmp_path / "a.wav")
+    rc = main(["rx", "--iq", capture, "--audio", a,
+               "--block-fm", "32768", "--save-state", st])
+    assert rc == 0
+    from sdrjfm_tpu.runtime.checkpoint import CheckpointError
+    with pytest.raises(CheckpointError):
+        main(["rx", "--iq", capture, "--audio", a, "--block-fm", "32768",
+              "--deemphasis", "75", "--load-state", st])
