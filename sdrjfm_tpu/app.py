@@ -188,6 +188,15 @@ def cmd_rx(args) -> int:
             "clock_time": r.clock_time,
             "group_counts": {str(k): v for k, v in r.group_counts.items()},
         }
+        if r.station_label_voted.strip() and \
+                r.station_label_voted != r.station_label:
+            report["rds"]["station_label_voted"] = r.station_label_voted
+        if r.ptyn.strip():
+            report["rds"]["ptyn"] = r.ptyn
+        if r.eon:
+            report["rds"]["eon"] = dec.eon_summary()
+        if r.tmc_messages:
+            report["rds"]["tmc_messages"] = r.tmc_messages
         print(f"RDS: PI={report['rds']['pi_code']} "
               f"station={r.station_label!r} text={r.radio_text!r} "
               f"groups={sync.groups_decoded} BER={sync.bit_error_rate:.4f}",

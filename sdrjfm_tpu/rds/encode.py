@@ -78,3 +78,44 @@ def group_4a(pi: int, pty: int, mjd: int, hours: int, minutes: int,
     d = ((hours & 0xF) << 12) | ((minutes & 0x3F) << 6) \
         | (offset_half_hours & 0x4F)
     return encode_group(pi, b, c, d)
+
+
+def group_10a(pi: int, pty: int, segment: int, chars4: str,
+              ab_flag: int = 0) -> List[int]:
+    """Programme-type-name group: 4 chars at `segment` (0..1)."""
+    b = (10 << 12) | (pty << 5) | (ab_flag << 4) | (segment & 1)
+    c = (ord(chars4[0]) << 8) | ord(chars4[1])
+    d = (ord(chars4[2]) << 8) | ord(chars4[3])
+    return encode_group(pi, b, c, d)
+
+
+def group_14a_ps(pi: int, pty: int, pi_on: int, variant: int,
+                 char_pair: str) -> List[int]:
+    """EON PS(ON) segment group: variant 0..3 carries 2 chars in C."""
+    b = (14 << 12) | (pty << 5) | (variant & 0xF)
+    c = (ord(char_pair[0]) << 8) | ord(char_pair[1])
+    return encode_group(pi, b, c, pi_on)
+
+
+def group_14a_af(pi: int, pty: int, pi_on: int, af1: int,
+                 af2: int = 0) -> List[int]:
+    """EON AF(ON) group (variant 4), method-A channel numbers."""
+    b = (14 << 12) | (pty << 5) | 4
+    return encode_group(pi, b, ((af1 & 0xFF) << 8) | (af2 & 0xFF), pi_on)
+
+
+def group_14a_pty_ta(pi: int, pty: int, pi_on: int, pty_on: int,
+                     ta_on: int = 0) -> List[int]:
+    """EON PTY(ON)+TA(ON) group (variant 13)."""
+    b = (14 << 12) | (pty << 5) | 13
+    return encode_group(pi, b, ((pty_on & 0x1F) << 11) | (ta_on & 1), pi_on)
+
+
+def group_8a(pi: int, pty: int, event: int, location: int, extent: int = 0,
+             direction: int = 0, diversion: int = 0,
+             duration: int = 0) -> List[int]:
+    """TMC/Alert-C single-group user message (ISO 14819-1 layout)."""
+    b = (8 << 12) | (pty << 5) | (0 << 4) | (1 << 3) | (duration & 0x7)
+    c = ((diversion & 1) << 15) | ((direction & 1) << 14) \
+        | ((extent & 0x7) << 11) | (event & 0x7FF)
+    return encode_group(pi, b, c, location & 0xFFFF)

@@ -3,10 +3,22 @@
 Host-side semantics of src/rds/rds-groupdecoder.cpp:100-343 and the EBU
 charset / PTY tables of src/rds/ebu-codetables.c, re-expressed as a plain
 Python class with a result-dict + callback interface instead of Qt signals.
+
+Beyond the reference (which stubs group 8 as "TMC" and ignores 10/14,
+rds-groupdecoder.cpp:100-168):
+  - 10A programme-type name (PTYN, 8 chars)
+  - 14A enhanced other networks (EON): PS(ON)/PTY(ON)/TA(ON)/AF(ON) per
+    cross-referenced PI
+  - 8A TMC/Alert-C single-group user messages (event/location/extent)
+  - PS/PI majority voting for noisy streams: `pi_voted` and
+    `station_label_voted` are per-position majorities keyed by PI, immune
+    to the occasional FEC miscorrection that slips a wrong char into the
+    reference-exact `station_label`.
 """
 
 from __future__ import annotations
 
+from collections import Counter, defaultdict
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
@@ -28,7 +40,10 @@ GROUP_NAMES = {
     4: "CLOCKTIME_AND_DATE",
     8: "TMC_DATA",
     10: "PROGRAM_TYPE_NAME",
+    14: "ENHANCED_OTHER_NETWORKS",
 }
+
+MAX_TMC_MESSAGES = 64
 
 
 @dataclass
@@ -43,6 +58,12 @@ class RDSResult:
     af_frequencies: List[int] = field(default_factory=list)
     clock_time: Optional[str] = None
     group_counts: Dict[int, int] = field(default_factory=dict)
+    # extensions beyond the reference decoder
+    pi_voted: int = 0
+    station_label_voted: str = ""
+    ptyn: str = ""
+    eon: Dict[int, dict] = field(default_factory=dict)
+    tmc_messages: List[dict] = field(default_factory=list)
 
 
 class GroupDecoder:
@@ -53,6 +74,15 @@ class GroupDecoder:
         self.reset()
 
     def reset(self):
+        """Full reset including the PI/PS vote history (explicit retune)."""
+        self._pi_votes: Counter = Counter()
+        self._ps_votes = defaultdict(Counter)   # (pi, seg) -> Counter[chars]
+        self._soft_reset()
+
+    def _soft_reset(self):
+        """Station change (PI flip) reset — rds-groupdecoder.cpp:106-110.
+        Vote history survives: it is keyed by PI, so a spurious PI from a
+        miscorrected block doesn't destroy the majority estimate."""
         self.result = RDSResult()
         self._label = [" "] * STATION_LABEL_LENGTH
         self._name_segments = 0
@@ -60,6 +90,8 @@ class GroupDecoder:
         self._text_ab_flag = -1
         self._text_segments = 0
         self._alphabet = 0
+        self._ptyn_ab = -1
+        self._ptyn = [" "] * STATION_LABEL_LENGTH
 
     # ------------------------------------------------------------------
     def decode(self, grp: Group) -> bool:
@@ -69,10 +101,14 @@ class GroupDecoder:
 
         if grp.pi_code != r.pi_code:
             # new station: reset (rds-groupdecoder.cpp:106-110)
-            self.reset()
+            counts = r.group_counts
+            self._soft_reset()
             r = self.result
+            r.group_counts = counts
             r.pi_code = grp.pi_code
             self.on_update("pi_code", r.pi_code)
+        self._pi_votes[grp.pi_code] += 1
+        r.pi_voted = self._pi_votes.most_common(1)[0][0]
 
         pty = grp.programme_type
         if pty != r.pty_code:
@@ -89,6 +125,12 @@ class GroupDecoder:
             self._radio_text(grp)
         elif gt == 4:
             self._clock(grp)
+        elif gt == 8:
+            self._tmc(grp)
+        elif gt == 10:
+            self._ptyn_decode(grp)
+        elif gt == 14:
+            self._eon(grp)
         return True
 
     # ------------------------------------------------------------------
@@ -115,6 +157,18 @@ class GroupDecoder:
 
         r.music_speech = (grp.get("B") >> 3) & 1
         r.di_code |= ((grp.get("B") >> 2) & 1) << seg
+
+        # PS majority voting (extension): per-position counts keyed by PI
+        self._ps_votes[(grp.pi_code, seg)][chars] += 1
+        label = []
+        for s in range(NUMBER_OF_NAME_SEGMENTS):
+            c = self._ps_votes.get((r.pi_voted, s))
+            if c:
+                top = c.most_common(1)[0][0]
+                label.append(chr((top >> 8) & 0xFF) + chr(top & 0xFF))
+            else:
+                label.append("  ")
+        r.station_label_voted = "".join(label)
 
     def _radio_text(self, grp: Group):
         r = self.result
@@ -162,6 +216,78 @@ class GroupDecoder:
         if text != self.result.radio_text:
             self.result.radio_text = text
             self.on_update("radio_text", text)
+
+    def _ptyn_decode(self, grp: Group):
+        """10A programme-type name: 8 chars, 4 per segment (extension; the
+        reference only names the group, rds-groupdecoder.cpp:100-168)."""
+        seg = grp.get("B") & 1
+        ab = (grp.get("B") >> 4) & 1
+        if ab != self._ptyn_ab:
+            self._ptyn_ab = ab
+            self._ptyn = [" "] * STATION_LABEL_LENGTH
+        c, d = grp.get("C"), grp.get("D")
+        for i, ch in enumerate(((c >> 8) & 0xFF, c & 0xFF,
+                                (d >> 8) & 0xFF, d & 0xFF)):
+            self._ptyn[4 * seg + i] = chr(ch)
+        self.result.ptyn = "".join(self._ptyn)
+        self.on_update("ptyn", self.result.ptyn)
+
+    def _eon(self, grp: Group):
+        """14A enhanced other networks (extension): collect PS(ON),
+        AF(ON), PTY(ON), TA(ON) keyed by the cross-referenced PI(ON) in
+        block D (IEC 62106 §3.1.5.19 layout)."""
+        variant = grp.get("B") & 0xF
+        pi_on = grp.get("D") & 0xFFFF
+        e = self.result.eon.setdefault(
+            pi_on, {"ps": [" "] * STATION_LABEL_LENGTH, "pty": None,
+                    "ta": None, "af_khz": []})
+        c = grp.get("C")
+        if variant < 4:                       # PS(ON) segments
+            e["ps"][2 * variant] = chr((c >> 8) & 0xFF)
+            e["ps"][2 * variant + 1] = chr(c & 0xFF)
+        elif variant == 4:                    # AF(ON) method-A pairs
+            for af in ((c >> 8) & 0xFF, c & 0xFF):
+                f = af * 100 + 87500 if 0 < af < 205 else 0
+                if f and f not in e["af_khz"]:
+                    e["af_khz"].append(f)
+        elif variant == 13:                   # PTY(ON) + TA(ON)
+            e["pty"] = (c >> 11) & 0x1F
+            e["ta"] = bool(c & 1)
+        self.on_update("eon", pi_on)
+
+    def eon_summary(self) -> Dict[str, dict]:
+        """JSON-able view of the EON table (PS joined, PI as hex)."""
+        out = {}
+        for pi, e in self.result.eon.items():
+            out[f"0x{pi:04X}"] = {
+                "ps": "".join(e["ps"]).strip(),
+                "pty": (PTY_TABLE[e["pty"]][self.pty_locale]
+                        if e["pty"] is not None else None),
+                "ta": e["ta"], "af_khz": list(e["af_khz"]),
+            }
+        return out
+
+    def _tmc(self, grp: Group):
+        """8A TMC/Alert-C single-group user message (extension; the
+        reference stubs group 8).  ISO 14819-1 layout: B[4]=T(0=user),
+        B[3]=F(1=single-group), B[2:0]=duration; C[15]=diversion,
+        C[14]=direction, C[13:11]=extent, C[10:0]=event; D=location."""
+        b = grp.get("B")
+        if (b >> 4) & 1:                      # tuning information — skip
+            return
+        if not (b >> 3) & 1:                  # multi-group — not assembled
+            return
+        c = grp.get("C")
+        msg = {"event": c & 0x7FF,
+               "location": grp.get("D") & 0xFFFF,
+               "extent": (c >> 11) & 0x7,
+               "direction": (c >> 14) & 1,
+               "diversion": bool((c >> 15) & 1),
+               "duration": b & 0x7}
+        if msg not in self.result.tmc_messages \
+                and len(self.result.tmc_messages) < MAX_TMC_MESSAGES:
+            self.result.tmc_messages.append(msg)
+            self.on_update("tmc", msg)
 
     def _clock(self, grp: Group):
         hours = (grp.get("D") >> 12) & 0xF

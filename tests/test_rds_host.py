@@ -68,6 +68,64 @@ class TestBlockSyncAndGroups:
         assert res.station_label == "TPU FM  "
         assert sync.groups_decoded > 40
 
+    def test_extended_groups_ptyn_eon_tmc(self):
+        """10A/14A/8A extensions decode from a synthetic stream."""
+        pi, pty = 0x10F0, 10
+        bits = []
+        for _ in range(4):
+            for seg in range(4):
+                bits.extend(encode.group_0a(pi, pty, seg,
+                                            "TPU FM  "[2 * seg:2 * seg + 2]))
+            for seg in range(2):
+                bits.extend(encode.group_10a(pi, pty, seg,
+                                             "JAZZ    "[4 * seg:4 * seg + 4]))
+            for v in range(4):
+                bits.extend(encode.group_14a_ps(pi, pty, 0x2222, v,
+                                                "OTHER FM"[2 * v:2 * v + 2]))
+            bits.extend(encode.group_14a_af(pi, pty, 0x2222, 30))  # 90.5 MHz
+            bits.extend(encode.group_14a_pty_ta(pi, pty, 0x2222, 14, 1))
+            bits.extend(encode.group_8a(pi, pty, event=401, location=12345,
+                                        extent=2, direction=1, duration=3))
+        sync, res = self._decode(bits)
+        assert res.ptyn == "JAZZ    "
+        assert 0x2222 in res.eon
+        e = res.eon[0x2222]
+        assert "".join(e["ps"]) == "OTHER FM"
+        assert e["pty"] == 14 and e["ta"] is True
+        assert e["af_khz"] == [90500]
+        assert len(res.tmc_messages) == 1
+        m = res.tmc_messages[0]
+        assert m["event"] == 401 and m["location"] == 12345
+        assert m["extent"] == 2 and m["direction"] == 1 and m["duration"] == 3
+
+    def test_ps_pi_majority_voting(self):
+        """A minority of corrupted 0A groups doesn't disturb the voted PS/PI."""
+        from sdrjfm_tpu.rds.groups import GroupDecoder
+        from sdrjfm_tpu.rds.blocksync import Group
+
+        dec = GroupDecoder()
+
+        def feed(pi, seg, pair):
+            g = Group()
+            g.set_block("A", pi)
+            g.set_block("B", (0 << 12) | (10 << 5) | (1 << 3) | seg)
+            g.set_block("C", 0xE0E0)
+            g.set_block("D", (ord(pair[0]) << 8) | ord(pair[1]))
+            dec.decode(g)
+
+        for rep in range(5):
+            for seg, pair in enumerate(["TP", "U ", "FM", "  "]):
+                feed(0x10F0, seg, pair)
+            if rep == 2:            # one corrupted pass: wrong char + wrong PI
+                feed(0x10F0, 1, "X!")
+                feed(0xDEAD, 0, "ZZ")
+        # the plain label took the corrupted char then recovered on rep 3/4;
+        # the voted label never wavered
+        assert dec.result.station_label_voted == "TPU FM  "
+        assert dec.result.pi_voted == 0x10F0
+        # reference-exact label also recovered (later segments overwrote)
+        assert dec.result.station_label == "TPU FM  "
+
     def test_differential_roundtrip(self):
         rng = np.random.default_rng(3)
         data = (rng.random(500) > 0.5).astype(np.int8)
