@@ -71,6 +71,12 @@ def _build_rx_parser(sub):
     p.add_argument("--log-meta", help="write per-block metadata as JSON lines "
                                       "(the reference's periodic freq/pilot "
                                       "log, radio.cpp:1811-1823)")
+    p.add_argument("--pcm-out", help="stream raw s16le PCM as blocks complete "
+                                     "('-' = stdout; pipe to aplay/ffplay — "
+                                     "the live audioSink equivalent). Uses "
+                                     "the streaming runner.")
+    p.add_argument("--pcm-pace", action="store_true",
+                   help="throttle --pcm-out to real time")
 
 
 def _build_scan_parser(sub):
@@ -146,9 +152,16 @@ def cmd_rx(args) -> int:
                                          cfg=cfg)
         print(f"resumed state from {args.load_state} {ck_meta}",
               file=sys.stderr)
-    runner = run_offline_scanned if args.runner == "scan" else run_offline
-    res = runner(rx, iq, controls, collect_taps=want_taps,
-                 init_state=init_state)
+    if args.pcm_out:
+        from .io.pcmout import PCMSink
+        from .runtime.stream import run_streaming
+        with PCMSink(args.pcm_out, cfg.audio_rate, pace=args.pcm_pace) as sink:
+            res = run_streaming(rx, iq, controls, init_state=init_state,
+                                on_audio=sink.write)
+    else:
+        runner = run_offline_scanned if args.runner == "scan" else run_offline
+        res = runner(rx, iq, controls, collect_taps=want_taps,
+                     init_state=init_state)
     dt = time.time() - t0
     n_in = (len(iq) // cfg.block_in) * cfg.block_in
     rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")

@@ -215,6 +215,17 @@ class Receiver:
             C.RDS_FREQUENCY + C.RDS_WIDTH / 2, fs_fm)
         self.H_rds57 = design.fft_filter_response(
             k57, cfg.fm_fft).astype(np.complex64)
+        # pilot + RDS bandpasses share one forward FFT of demod when their
+        # overlap-save geometry coincides (fft_filter_apply_multi); the ×5
+        # pilot input gain (fm-processor.cpp:695) is folded into its row
+        self.fuse_demod_filters = (
+            cfg.rds != "off"
+            and self.pilot_cfg.fft_size == cfg.fm_fft
+            and self.pilot_cfg.hop == cfg.fm_hop)
+        if self.fuse_demod_filters:
+            self.H_demod_pair = np.stack(
+                [5.0 * self.pilot_cfg.response, self.H_rds57]
+            ).astype(np.complex64)
         self.rds_delay = (rds_taps - 1) // 2
         self.k_rds_decim = design.lowpass_sinc(
             C.RDS_DECIM_TAPS, cfg.rds_rate / 2, fs_fm).astype(np.float32)
@@ -465,9 +476,25 @@ class Receiver:
                 demod, carrier, controls.squelch_level, self.squelch_cfg,
                 squelch_state, shard_axis=shard_axis)
 
-        # --- pilot recovery --------------------------------------------------
-        pblock, pilot_state = recover_pilot(demod, self.pilot_cfg, state.pilot,
-                                            shard_axis=shard_axis)
+        # --- pilot recovery (+ fused RDS 57 kHz bandpass: both filter the
+        # same demod block with the same overlap-save geometry, so one
+        # forward FFT serves both; see fft_filter_apply_multi) ---------------
+        rds_pre = None
+        if self.fuse_demod_filters:
+            Hp = jnp.asarray(self.H_demod_pair)
+            if not sharded:
+                ys, filt_tail = B.fft_filter_apply_multi(
+                    demod, Hp, cfg.fm_hop, state.pilot.filt)
+            else:
+                ys, filt_tail = DD.dist_fft_filter_multi(
+                    demod, Hp, cfg.fm_hop, state.pilot.filt, shard_axis)
+            pblock, pilot_state = recover_pilot(
+                demod, self.pilot_cfg, state.pilot, shard_axis=shard_axis,
+                pre=(ys[0], filt_tail))
+            rds_pre = ys[1]
+        else:
+            pblock, pilot_state = recover_pilot(
+                demod, self.pilot_cfg, state.pilot, shard_axis=shard_axis)
         base_phase = 2.0 * (pblock.phase + jnp.pi / 4.0)
 
         # --- PSS -------------------------------------------------------------
@@ -517,11 +544,19 @@ class Receiver:
         rds57_filt, rds_decim_c, bitrec_state = (state.rds57_filt,
                                                  state.rds_decim, state.bitrec)
         if cfg.rds != "off":
-            dz = demod.astype(jnp.complex64)
-            if not sharded:
+            if rds_pre is not None:
+                # fused path: the bandpass came out of the shared demod FFT;
+                # its carry is the pilot filter's (both are demod tails)
+                rds_base, rds57_filt = rds_pre, pilot_state.filt
+            elif not sharded:
                 rds_base, rds57_filt = B.fft_filter_apply(
-                    dz, jnp.asarray(self.H_rds57), cfg.fm_hop,
-                    state.rds57_filt)
+                    demod.astype(jnp.complex64), jnp.asarray(self.H_rds57),
+                    cfg.fm_hop, state.rds57_filt)
+            else:
+                rds_base, rds57_filt = DD.dist_fft_filter(
+                    demod.astype(jnp.complex64), jnp.asarray(self.H_rds57),
+                    cfg.fm_hop, state.rds57_filt, shard_axis)
+            if not sharded:
                 # the analytic 57k signal at n carries the input of time n-D;
                 # mix with the pilot phase of the same instant (the reference
                 # keeps a RDS_SAMPLE_DELAY-deep phase buffer for this,
@@ -529,9 +564,6 @@ class Receiver:
                 phase_del, phase_delay = B.delay_apply(pblock.phase,
                                                        state.phase_delay)
             else:
-                rds_base, rds57_filt = DD.dist_fft_filter(
-                    dz, jnp.asarray(self.H_rds57), cfg.fm_hop,
-                    state.rds57_filt, shard_axis)
                 d = state.phase_delay.shape[0]
                 halo = DD.left_halo(pblock.phase, d, state.phase_delay,
                                     shard_axis)

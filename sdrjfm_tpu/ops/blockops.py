@@ -208,6 +208,46 @@ def fft_filter_apply(x: Array, response: Array, hop: int,
     return y, new_carry
 
 
+def fft_filter_apply_multi(x: Array, responses: Array, hop: int,
+                           carry: Array) -> Tuple[Array, Array]:
+    """M overlap-save convolutions of ONE block sharing one forward FFT.
+
+    The receiver filters the same demodulated MPX with several frozen
+    kernels (19 kHz pilot bandpass + 57 kHz RDS bandpass, the reference's
+    separate fftFilter instances fm-processor.cpp:83-86 and pilot chain):
+    their forward transform is identical, so batching them shares it — and
+    for a real input the forward runs as an rfft (half the points) with the
+    negative-frequency half mirrored by conjugate symmetry.
+
+    x         : [T] real or complex block, T % hop == 0, T >= F-hop
+    responses : [M, F] complex frequency responses (degree <= F-hop+1 each)
+    carry     : [F-hop] trailing input samples of the previous block
+                (complex storage is fine for a real stream; the imaginary
+                part must be zero)
+    Returns (ys [M, T], new_carry).  Row m matches
+    fft_filter_apply(x, responses[m], hop, carry) up to fp rounding of the
+    shared forward transform.
+    """
+    M, F = responses.shape
+    halo = F - hop
+    T = x.shape[0]
+    assert T % hop == 0 and T >= halo, (T, hop, F)
+    dt = jnp.result_type(carry.dtype, x.dtype)
+    xp = jnp.concatenate([carry.astype(dt), x.astype(dt)])
+    new_carry = xp[-halo:]
+    nframes = T // hop
+    idx = (jnp.arange(nframes) * hop)[:, None] + jnp.arange(F)[None, :]
+    frames = xp[idx]                                    # [nframes, F]
+    if jnp.iscomplexobj(x):
+        spec = jnp.fft.fft(frames.astype(jnp.complex64), axis=-1)
+    else:
+        r = jnp.fft.rfft(jnp.real(frames).astype(jnp.float32), axis=-1)
+        spec = jnp.concatenate([r, jnp.conj(r[:, -2:0:-1])], axis=-1)
+    out = jnp.fft.ifft(spec[None, :, :] * responses[:, None, :], axis=-1)
+    ys = out[:, :, halo:].reshape(M, T)
+    return ys, new_carry
+
+
 def fft_filter_zero_state(fft_size: int, hop: int, dtype=jnp.complex64) -> Array:
     return jnp.zeros((fft_size - hop,), dtype=dtype)
 

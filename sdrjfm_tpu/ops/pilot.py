@@ -34,7 +34,7 @@ import numpy as np
 
 from .. import constants as C
 from . import design
-from .blockops import ema_apply, fft_filter_apply, fft_filter_zero_state, runlength_true
+from .blockops import ema_apply, fft_filter_zero_state, runlength_true
 
 Array = jax.Array
 
@@ -81,18 +81,33 @@ class PilotBlock(NamedTuple):
 
 
 def recover_pilot(demod: Array, cfg: PilotConfig, state: PilotState,
-                  shard_axis=None) -> Tuple[PilotBlock, PilotState]:
+                  shard_axis=None, pre=None) -> Tuple[PilotBlock, PilotState]:
     """Estimate per-sample pilot phase/lock over a block of demod at fmRate.
 
     With `shard_axis` the bandpass halo rides ppermute and the lock
-    metric/counter use the distributed decompositions."""
-    H = jnp.asarray(cfg.response)
-    x = (5.0 * demod).astype(jnp.complex64)
-    if shard_axis is None:
-        p, filt = fft_filter_apply(x, H, cfg.hop, state.filt)
+    metric/counter use the distributed decompositions.
+
+    `pre`, when given, is `(p, filt_tail)` — the analytic pilot signal
+    (filter of demod with 5x the config response) and its carry, already
+    computed by the caller.  The receiver uses this to share one forward
+    FFT of demod between the pilot and RDS bandpasses
+    (blockops.fft_filter_apply_multi); the ×5 input gain of the reference
+    chain (fm-processor.cpp:695) is folded into the response so the carry
+    holds plain demod samples in both paths.
+    """
+    if pre is not None:
+        p, filt = pre
     else:
-        from ..parallel.distributed import dist_fft_filter
-        p, filt = dist_fft_filter(x, H, cfg.hop, state.filt, shard_axis)
+        from .blockops import fft_filter_apply_multi
+        H = 5.0 * jnp.asarray(cfg.response)
+        if shard_axis is None:
+            ys, filt = fft_filter_apply_multi(demod, H[None, :], cfg.hop,
+                                              state.filt)
+        else:
+            from ..parallel.distributed import dist_fft_filter_multi
+            ys, filt = dist_fft_filter_multi(demod, H[None, :], cfg.hop,
+                                             state.filt, shard_axis)
+        p = ys[0]
     w19 = 2.0 * jnp.pi * C.PILOT_FREQUENCY / cfg.rate
     phase = jnp.angle(p) + (w19 * cfg.group_delay + jnp.pi)
     if shard_axis is None:

@@ -66,6 +66,19 @@ def dist_fft_filter(x_local: Array, response: Array, hop: int,
     return y, tail
 
 
+def dist_fft_filter_multi(x_local: Array, responses: Array, hop: int,
+                          stream_carry: Array, axis: str
+                          ) -> Tuple[Array, Array]:
+    """Sharded shared-forward-FFT filter bank (fft_filter_apply_multi).
+
+    One ppermute halo of the shared input serves every response; returns
+    (ys_local [M, T_local], candidate tail)."""
+    halo_len = responses.shape[1] - hop
+    halo = left_halo(x_local.astype(stream_carry.dtype), halo_len,
+                     stream_carry, axis)
+    return B.fft_filter_apply_multi(x_local, responses, hop, halo)
+
+
 def dist_linrec(drive_local: Array, g: float, y0, axis: str
                 ) -> Tuple[Array, Array]:
     """First-order recurrence across the mesh.

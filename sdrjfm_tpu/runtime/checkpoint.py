@@ -22,7 +22,11 @@ from typing import Any, Tuple
 import jax
 import numpy as np
 
-FORMAT_VERSION = 1
+# v2: PilotState.filt carries plain demod samples (the ×5 pilot input gain
+# moved into the filter response so the pilot/RDS bandpasses can share one
+# forward FFT).  v<=1 checkpoints resume with a one-filter-length pilot
+# transient (~8 ms) — loadable, not bit-exact.
+FORMAT_VERSION = 2
 
 
 class CheckpointError(RuntimeError):

@@ -95,6 +95,77 @@ def run_offline_scanned(rx: Receiver, iq: np.ndarray,
     return res
 
 
+def run_streaming(rx: Receiver, iq: np.ndarray,
+                  controls: Optional[Controls] = None,
+                  init_state=None,
+                  on_audio=None, on_meta=None, on_rds_bits=None,
+                  drop_blocks: int = 0,
+                  keep_outputs: bool = True) -> StreamResult:
+    """Streaming block driver: per-block callbacks + double-buffered input.
+
+    Block k+1's host→device transfer is issued (async `jax.device_put`)
+    right after block k's compute is dispatched, so staging overlaps compute
+    — the block-world analogue of the reference's device reader thread
+    filling the ring buffer ahead of the engine (fm-processor.cpp:387-417,
+    ROADMAP 'double-buffered input staging').  Callbacks fire as each block's
+    outputs materialise:
+
+        on_audio(frames)   : [block_audio, 2] float32 — feed a live sink
+                             (io.pcmout.PCMSink) while later blocks are
+                             still in flight
+        on_meta(dict)      : per-block metadata
+        on_rds_bits(bits)  : the block's decoded RDS bits (np.uint8)
+
+    keep_outputs=False skips accumulating outputs in memory (long/endless
+    captures); the returned StreamResult then carries only meta+final state.
+    """
+    cfg = rx.cfg
+    controls = controls or default_controls()
+    T = cfg.block_in
+    nblocks = len(iq) // T
+    assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
+    step = rx.jit_step()
+    state = init_state if init_state is not None else rx.init_state()
+
+    audio_acc, metas, bits_acc, biq_acc = [], [], [], []
+    dev_blk = jax.device_put(jnp.asarray(iq[:T], jnp.complex64))
+    for b in range(nblocks):
+        state, out = step(state, controls, dev_blk)
+        if b + 1 < nblocks:          # stage the next block while this computes
+            dev_blk = jax.device_put(
+                jnp.asarray(iq[(b + 1) * T:(b + 2) * T], jnp.complex64))
+        if b < drop_blocks:
+            jax.block_until_ready(out.audio)
+            continue
+        frames = np.asarray(out.audio)
+        meta = {k: np.asarray(v).item() for k, v in out.meta._asdict().items()}
+        blk_bits = None
+        if out.rds is not None:
+            n = int(out.rds.count)
+            blk_bits = np.asarray(out.rds.bits)[:n]
+        if on_audio is not None:
+            on_audio(frames)
+        if on_meta is not None:
+            on_meta(meta)
+        if on_rds_bits is not None and blk_bits is not None:
+            on_rds_bits(blk_bits)
+        metas.append(meta)
+        if keep_outputs:
+            audio_acc.append(frames)
+            if blk_bits is not None:
+                bits_acc.append(blk_bits)
+                biq_acc.append(np.asarray(out.rds.iq)[:n])
+
+    res = StreamResult(
+        audio=(np.concatenate(audio_acc, axis=0) if audio_acc
+               else np.zeros((0, 2), np.float32)),
+        meta=metas, final_state=state)
+    if bits_acc:
+        res.rds_bits = np.concatenate(bits_acc)
+        res.rds_iq = np.concatenate(biq_acc)
+    return res
+
+
 def run_offline(rx: Receiver, iq: np.ndarray,
                 controls: Optional[Controls] = None,
                 drop_blocks: int = 0,

@@ -100,6 +100,48 @@ class TestFFTFilter:
         np.testing.assert_allclose(dphi, 2 * np.pi * f0 / fs, atol=1e-3)
 
 
+class TestFFTFilterMulti:
+    def test_rows_match_single_filters(self):
+        """Shared-forward-FFT bank == per-filter overlap-save (real input)."""
+        fs = 192000.0
+        x = RNG.standard_normal(16384).astype(np.float32)
+        k1 = design.bandpass_complex(1537, 18500.0, 19500.0, fs)
+        k2 = design.bandpass_complex(769, 54600.0, 59400.0, fs)
+        F, hop = 8192, 4096
+        H = jnp.asarray(np.stack([design.fft_filter_response(k1, F),
+                                  design.fft_filter_response(k2, F)]),
+                        jnp.complex64)
+        carry = B.fft_filter_zero_state(F, hop)
+        ys, _ = B.fft_filter_apply_multi(jnp.asarray(x), H, hop, carry)
+        for m, km in enumerate((k1, k2)):
+            want, _ = B.fft_filter_apply(
+                jnp.asarray(x.astype(np.complex64)), H[m], hop,
+                B.fft_filter_zero_state(F, hop))
+            np.testing.assert_allclose(np.asarray(ys[m]), np.asarray(want),
+                                       atol=2e-4)
+
+    def test_block_stitching(self):
+        """Block-split through the bank == whole-array, bit-exactly."""
+        fs = 192000.0
+        x = RNG.standard_normal(16384).astype(np.float32)
+        k1 = design.bandpass_complex(1537, 18500.0, 19500.0, fs)
+        k2 = design.bandpass_complex(769, 54600.0, 59400.0, fs)
+        F, hop = 8192, 4096
+        H = jnp.asarray(np.stack([design.fft_filter_response(k1, F),
+                                  design.fft_filter_response(k2, F)]),
+                        jnp.complex64)
+        whole, _ = B.fft_filter_apply_multi(
+            jnp.asarray(x), H, hop, B.fft_filter_zero_state(F, hop))
+        carry = B.fft_filter_zero_state(F, hop)
+        got = []
+        for blk in _blocks(x, 2):
+            y, carry = B.fft_filter_apply_multi(jnp.asarray(blk), H, hop,
+                                                carry)
+            got.append(np.asarray(y))
+        np.testing.assert_array_equal(np.concatenate(got, axis=1),
+                                      np.asarray(whole))
+
+
 class TestLinRec:
     def test_ema_matches_sequential(self):
         x = RNG.standard_normal(2048).astype(np.float32)

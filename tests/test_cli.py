@@ -98,3 +98,44 @@ def test_load_state_config_mismatch_fails(capture, tmp_path):
     with pytest.raises(CheckpointError):
         main(["rx", "--iq", capture, "--audio", a, "--block-fm", "32768",
               "--deemphasis", "75", "--load-state", st])
+
+
+def test_pcm_out_streaming(capture, tmp_path):
+    """--pcm-out streams s16le PCM identical to the wav-file PCM path."""
+    pcm = str(tmp_path / "live.pcm")
+    audio = str(tmp_path / "audio.wav")
+    rc = main(["rx", "--iq", capture, "--audio", audio, "--block-fm", "32768",
+               "--pcm-out", pcm])
+    assert rc == 0
+    raw = np.fromfile(pcm, dtype="<i2").reshape(-1, 2)
+    x, info = read_wav(audio)
+    assert info.rate == 48000
+    assert raw.shape[0] == x.shape[0]
+    # same quantizer, same samples: x was read back as i/32768, so
+    # re-quantizing is exact
+    want = (np.clip(x, -1.0, 1.0 - 1.0 / 32768) * 32768.0).astype("<i2")
+    np.testing.assert_array_equal(raw, want)
+
+
+def test_streaming_runner_bit_exact_vs_loop():
+    """run_streaming (double-buffered staging) == run_offline, bit for bit."""
+    from sdrjfm_tpu import constants as C
+    from sdrjfm_tpu.io import synth
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.stream import run_offline, run_streaming
+
+    n = 3 * 32768
+    t = np.arange(n) / C.FM_RATE
+    mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 700 * t),
+                          0.5 * np.sin(2 * np.pi * 300 * t),
+                          synth.MPXParams())
+    iq = synth.fm_modulate(mpx, C.FM_RATE)
+    rx = Receiver(ReceiverConfig(block_fm=32768, rds="block"))
+    r1 = run_offline(rx, iq)
+    heard = []
+    r2 = run_streaming(rx, iq, on_audio=heard.append)
+    np.testing.assert_array_equal(r1.audio, r2.audio)
+    np.testing.assert_array_equal(np.concatenate(heard, axis=0), r1.audio)
+    assert r1.meta == r2.meta
+    if r1.rds_bits is not None:
+        np.testing.assert_array_equal(r1.rds_bits, r2.rds_bits)
