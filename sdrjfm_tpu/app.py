@@ -41,14 +41,17 @@ def _build_rx_parser(sub):
                    help="bit decoder: TPU-native block or the reference's "
                         "per-sample algorithms")
     p.add_argument("--no-pss", action="store_true")
-    p.add_argument("--deemphasis", type=float, default=50.0,
-                   help="deemphasis time constant in us (50 EU / 75 US)")
+    p.add_argument("--deemphasis", default="50",
+                   help="deemphasis time constant in us, or a preset: "
+                        "eu=50, us=75, off=0")
     p.add_argument("--audio-filter", type=int, default=15000,
                    help="audio lowpass cutoff Hz (0 = off)")
     p.add_argument("--input-filter", action="store_true",
                    help="enable the strong 65536-pt channel filter")
     p.add_argument("--squelch", default="off", choices=["off", "nsq", "lsq"])
-    p.add_argument("--squelch-level", type=float, default=0.0)
+    p.add_argument("--squelch-level", default="0",
+                   help="0..100, or 'auto' (nsq only: profile the first "
+                        "block's band-energy ratio and pick a threshold)")
     p.add_argument("--volume-db", type=float, default=0.0)
     p.add_argument("--balance", type=int, default=0, help="-100..100")
     p.add_argument("--frontend", default="flat", choices=["flat", "reference"])
@@ -64,6 +67,9 @@ def _build_rx_parser(sub):
                                      "constellation to an npz")
     p.add_argument("--save-state", help="write the DSP carry state (npz) at "
                                         "the end of the run")
+    p.add_argument("--ckpt-backend", default="npz", choices=["npz", "orbax"],
+                   help="checkpoint writer for --save-state (orbax writes a "
+                        "directory; --load-state auto-detects)")
     p.add_argument("--load-state", help="resume from a saved DSP state")
     p.add_argument("--runner", default="loop", choices=["loop", "scan"],
                    help="block driver: python loop (streaming-shaped) or one "
@@ -122,11 +128,15 @@ def cmd_rx(args) -> int:
     if rate != C.INPUT_RATE:
         print(f"warning: capture rate {rate} != {C.INPUT_RATE}; "
               "proceeding with the contract rate", file=sys.stderr)
+    deemph_us = {"eu": 50.0, "us": 75.0, "off": 0.0}.get(
+        str(args.deemphasis).lower(), None)
+    if deemph_us is None:
+        deemph_us = float(args.deemphasis)
     want_taps = bool(args.dump_if or args.dump_mpx or args.spectra)
     cfg = ReceiverConfig(
         block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
         sound=args.sound, pss_active=not args.no_pss,
-        deemphasis_us=args.deemphasis, audio_filter_hz=args.audio_filter,
+        deemphasis_us=deemph_us, audio_filter_hz=args.audio_filter,
         input_filter=args.input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
@@ -135,6 +145,8 @@ def cmd_rx(args) -> int:
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0
     rg = (100 + balance) / 100.0 if balance < 0 else 1.0
+    sq_auto = str(args.squelch_level).lower() == "auto"
+    sq_level = 0.0 if sq_auto else float(args.squelch_level)
     controls = Controls(
         lo_freq_hz=jnp.asarray(args.freq_offset, jnp.int32),
         volume=jnp.asarray(10.0 ** (args.volume_db / 20.0), jnp.float32),
@@ -142,7 +154,21 @@ def cmd_rx(args) -> int:
         right_gain=jnp.asarray(rg, jnp.float32),
         input_lgain=jnp.asarray(1.0, jnp.float32),
         input_rgain=jnp.asarray(1.0, jnp.float32),
-        squelch_level=jnp.asarray(args.squelch_level, jnp.float32))
+        squelch_level=jnp.asarray(sq_level, jnp.float32))
+    if sq_auto:
+        # profile the first block (squelch open, demod tap on) and pick the
+        # slider level from the measured band-energy ratio
+        from dataclasses import replace
+        from .ops.squelch import auto_squelch_level
+        from .runtime.stream import run_offline
+        prof_rx = Receiver(replace(cfg, squelch="off", rds="off",
+                                   emit_taps=True))
+        prof = run_offline(prof_rx, iq[: cfg.block_in], controls,
+                           collect_taps=True)
+        lvl = auto_squelch_level(prof.taps["demod"], cfg.fm_rate)
+        print(f"auto squelch level: {lvl:.1f}", file=sys.stderr)
+        controls = controls._replace(
+            squelch_level=jnp.asarray(lvl, jnp.float32))
 
     t0 = time.time()
     init_state = None
@@ -236,7 +262,10 @@ def cmd_rx(args) -> int:
         np.savez(args.spectra, **out_npz)
         print(f"wrote {args.spectra}", file=sys.stderr)
     if args.save_state and res.final_state is not None:
-        from .runtime.checkpoint import save_state
+        if args.ckpt_backend == "orbax":
+            from .runtime.checkpoint import save_state_orbax as save_state
+        else:
+            from .runtime.checkpoint import save_state
         save_state(args.save_state, res.final_state,
                    {"blocks": len(res.meta)}, cfg=cfg)
         print(f"wrote {args.save_state}", file=sys.stderr)

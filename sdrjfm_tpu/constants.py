@@ -52,6 +52,8 @@ def deemphasis_alpha(tau_us: float = DEEMPHASIS_EU_US, rate: int = FM_RATE) -> f
     at runtime (the constructor initialiser at :174 is overwritten by the GUI
     restoring the deemphasis setting at startup).
     """
+    if tau_us <= 0:                      # "off": unit-gain passthrough
+        return 1.0
     tau = 1_000_000.0 / tau_us
     return 1.0 / (float(rate) / tau + 1.0)
 

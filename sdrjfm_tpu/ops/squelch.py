@@ -125,6 +125,37 @@ def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
     return x * gate, new
 
 
+def auto_squelch_level(demod: np.ndarray, rate: int = C.FM_RATE,
+                       key_freq: int = 70000, margin: float = 0.5) -> float:
+    """Pick a noise-squelch slider level from a measured demod segment.
+
+    Host-side profile (beyond the reference, whose slider is manual): run the
+    same Chebyshev high/low band pair over the segment, read the band-energy
+    ratio r = avg_high/avg_low at the end, and place the open/close threshold
+    a `margin` of the way from r (signal present) toward 1.0 (pure noise):
+
+        thr   = r + margin*(1 - r)
+        level = 100*(1 - thr)            (thr = 1 - level/100 in noise_squelch)
+
+    On a clean station r is small -> level ~ margin*100; when the carrier
+    drops, r rises toward 1 > thr and the squelch closes.
+    """
+    from scipy import signal
+    x = np.asarray(demod, np.float32)
+    hp = design.cheby1_sos(10, key_freq - 100, rate, "highpass")
+    lp = design.cheby1_sos(10, min(key_freq, int(0.49 * rate)), rate,
+                           "lowpass")
+    v1 = np.abs(signal.sosfilt(hp, x))
+    v2 = np.abs(signal.sosfilt(lp, x))
+    w = 1.0 / (rate / 100.0)
+    b, a = [w], [1.0, -(1.0 - w)]
+    ah = signal.lfilter(b, a, v1)[-1]
+    al = signal.lfilter(b, a, v2)[-1]
+    r = float(ah / max(al, 1e-12))
+    thr = min(1.0, r + margin * (1.0 - r))
+    return float(np.clip(100.0 * (1.0 - thr), 0.0, 100.0))
+
+
 def level_squelch(x: Array, carrier: Array, level: Array, cfg: SquelchConfig,
                   state: SquelchState,
                   shard_axis=None) -> Tuple[Array, SquelchState]:

@@ -63,12 +63,58 @@ def save_state(path: str, state: Any, extra: dict | None = None,
     np.savez(path, **arrays)
 
 
+def save_state_orbax(path: str, state: Any, extra: dict | None = None,
+                     cfg=None) -> None:
+    """Save via orbax-checkpoint (directory format, async-capable, the
+    standard JAX ecosystem checkpointer).  Same header contract as the npz
+    backend; choose this for very large states or multi-host runs where
+    orbax's sharded-array handling matters.  `path` becomes a directory.
+    """
+    import os
+    import orbax.checkpoint as ocp
+    header = {"format_version": FORMAT_VERSION}
+    if extra:
+        header["extra"] = extra
+    if cfg is not None:
+        header["config_fingerprint"] = config_fingerprint(cfg)
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"state": state, "header_json": json.dumps(header)},
+               force=True)
+
+
+def load_state_orbax(path: str, template: Any, cfg=None) -> Tuple[Any, dict]:
+    """Restore an orbax checkpoint written by save_state_orbax."""
+    import os
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    raw = ckptr.restore(os.path.abspath(path),
+                        item={"state": template, "header_json": ""})
+    header = json.loads(raw.get("header_json") or "{}")
+    if header.get("format_version", 0) > FORMAT_VERSION:
+        raise CheckpointError(
+            f"checkpoint {path} has format v{header['format_version']}, "
+            f"this build reads up to v{FORMAT_VERSION}")
+    if cfg is not None and header.get("config_fingerprint"):
+        want = config_fingerprint(cfg)
+        if header["config_fingerprint"] != want:
+            raise CheckpointError(
+                f"checkpoint {path} was written by a different receiver "
+                f"configuration (fingerprint {header['config_fingerprint']} "
+                f"!= {want})")
+    return raw["state"], header.get("extra", {})
+
+
 def load_state(path: str, template: Any, cfg=None) -> Tuple[Any, dict]:
     """Restore a state pytree using `template` (e.g. rx.init_state()) for
     structure/dtype; returns (state, metadata).
 
     cfg: optional ReceiverConfig to verify against the stored fingerprint.
+    Directories are dispatched to the orbax backend automatically.
     """
+    import os
+    if os.path.isdir(path):
+        return load_state_orbax(path, template, cfg=cfg)
     data = np.load(path)
     raw = json.loads(bytes(data["__meta__"].tobytes()).decode() or "{}")
     # v0 checkpoints stored the extra dict directly (no header)

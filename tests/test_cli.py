@@ -139,3 +139,82 @@ def test_streaming_runner_bit_exact_vs_loop():
     assert r1.meta == r2.meta
     if r1.rds_bits is not None:
         np.testing.assert_array_equal(r1.rds_bits, r2.rds_bits)
+
+
+def test_orbax_checkpoint_roundtrip(capture, tmp_path):
+    """--ckpt-backend orbax writes a directory; --load-state auto-detects it
+    and resumes bit-identically to the npz backend."""
+    st_npz = str(tmp_path / "state.npz")
+    st_orb = str(tmp_path / "state_orbax")
+    a0 = str(tmp_path / "a0.wav")
+    rc = main(["rx", "--iq", capture, "--audio", a0, "--block-fm", "32768",
+               "--save-state", st_npz])
+    assert rc == 0
+    rc = main(["rx", "--iq", capture, "--audio", a0, "--block-fm", "32768",
+               "--save-state", st_orb, "--ckpt-backend", "orbax"])
+    assert rc == 0
+    import os
+    assert os.path.isdir(st_orb)
+    a1 = str(tmp_path / "a1.wav")
+    a2 = str(tmp_path / "a2.wav")
+    assert main(["rx", "--iq", capture, "--audio", a1, "--block-fm", "32768",
+                 "--load-state", st_npz]) == 0
+    assert main(["rx", "--iq", capture, "--audio", a2, "--block-fm", "32768",
+                 "--load-state", st_orb]) == 0
+    x1, _ = read_wav(a1)
+    x2, _ = read_wav(a2)
+    np.testing.assert_array_equal(x1, x2)
+
+
+def test_orbax_config_mismatch_fails(capture, tmp_path):
+    st = str(tmp_path / "state_orbax")
+    a = str(tmp_path / "a.wav")
+    assert main(["rx", "--iq", capture, "--audio", a, "--block-fm", "32768",
+                 "--save-state", st, "--ckpt-backend", "orbax"]) == 0
+    from sdrjfm_tpu.runtime.checkpoint import CheckpointError
+    with pytest.raises(CheckpointError):
+        main(["rx", "--iq", capture, "--audio", a, "--block-fm", "32768",
+              "--deemphasis", "75", "--load-state", st])
+
+
+def test_deemphasis_presets(capture, tmp_path):
+    """--deemphasis accepts eu/us/off presets; 'us' == numeric 75."""
+    a_us = str(tmp_path / "us.wav")
+    a_75 = str(tmp_path / "n75.wav")
+    assert main(["rx", "--iq", capture, "--audio", a_us,
+                 "--block-fm", "32768", "--deemphasis", "us"]) == 0
+    assert main(["rx", "--iq", capture, "--audio", a_75,
+                 "--block-fm", "32768", "--deemphasis", "75"]) == 0
+    x1, _ = read_wav(a_us)
+    x2, _ = read_wav(a_75)
+    np.testing.assert_array_equal(x1, x2)
+    # 'off' must differ (more treble energy)
+    a_off = str(tmp_path / "off.wav")
+    assert main(["rx", "--iq", capture, "--audio", a_off,
+                 "--block-fm", "32768", "--deemphasis", "off"]) == 0
+    x3, _ = read_wav(a_off)
+    assert float((x3 ** 2).mean()) > float((x1 ** 2).mean())
+
+
+def test_squelch_auto_level(capture, tmp_path):
+    """--squelch nsq --squelch-level auto keeps a clean station open."""
+    audio = str(tmp_path / "sq.wav")
+    rc = main(["rx", "--iq", capture, "--audio", audio, "--block-fm", "32768",
+               "--squelch", "nsq", "--squelch-level", "auto"])
+    assert rc == 0
+    x, _ = read_wav(audio)
+    # clean synth station: squelch must stay open (audio not muted)
+    assert float((x[48000:] ** 2).mean() ** 0.5) > 0.2
+
+
+def test_squelch_auto_closes_on_noise(tmp_path):
+    """Pure-noise capture: the auto profile picks a level that mutes."""
+    from sdrjfm_tpu.ops.squelch import auto_squelch_level
+    rng = np.random.default_rng(7)
+    demod = rng.standard_normal(131072).astype(np.float32)
+    lvl = auto_squelch_level(demod)
+    # noise: band ratio ~1 -> level near 0 -> thr near 1 -> squelch closes
+    assert lvl < 20.0
+    t = np.arange(131072) / 192000.0
+    station = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    assert auto_squelch_level(station) > lvl + 20.0
