@@ -27,7 +27,14 @@ def main():
     from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
                                             default_controls)
 
-    cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000)
+    # i16 wire format: the capture-faithful input (the reference's file
+    # source is 16-bit PCM wav, filehulp.cpp:61-63, and its handlers convert
+    # u8/i16 to float on the host CPU in getSamples; here the conversion is
+    # fused on-device).  Halves the input-read HBM traffic — the chain's
+    # throughput ceiling (tools/bench_variants.py: c64 38.8kx / i16 46.7kx /
+    # u8 57.6kx).
+    cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000,
+                         iq_format="i16")
     rx = Receiver(cfg)
     step = rx.jit_step()
     controls = default_controls()
@@ -44,8 +51,11 @@ def main():
     bits = (rng.random(30000) > 0.5).astype(np.int8)
     mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
     iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in * nblocks]
-    blocks = jax.device_put(jnp.asarray(iq_np, jnp.complex64)
-                            .reshape(nblocks, cfg.block_in))
+    i16 = np.stack([np.round(iq_np.real * 32768.0),
+                    np.round(iq_np.imag * 32768.0)],
+                   axis=1).clip(-32768, 32767).astype(np.int16)
+    blocks = jax.device_put(jnp.asarray(i16)
+                            .reshape(nblocks, cfg.block_in, 2))
 
     # timed: scan-driven run — the whole multi-block pipeline is ONE
     # dispatched program that keeps and returns every output (audio, RDS

@@ -24,7 +24,16 @@ import time
 
 def _build_rx_parser(sub):
     p = sub.add_parser("rx", help="demodulate an IQ wav capture")
-    p.add_argument("--iq", required=True, help="input IQ wav (I=left, Q=right)")
+    p.add_argument("--iq", required=True,
+                   help="input IQ capture: wav (I=left, Q=right) or a "
+                        "headerless raw file (rtl_sdr/hackrf convention; "
+                        "needs --iq-format u8 or i16)")
+    p.add_argument("--iq-format", default="auto",
+                   choices=["auto", "c64", "i16", "u8"],
+                   help="wire format fed to the device: i16/u8 keep integer "
+                        "captures raw (half / quarter the input bytes; "
+                        "i16-from-wav is bit-identical to c64); auto picks "
+                        "i16 for PCM16 stereo wavs")
     p.add_argument("--audio", help="output audio wav (48 kHz stereo)")
     p.add_argument("--report", help="write JSON report (metadata + RDS)")
     p.add_argument("--freq-offset", type=int, default=0,
@@ -83,6 +92,10 @@ def _build_rx_parser(sub):
                                      "the streaming runner.")
     p.add_argument("--pcm-pace", action="store_true",
                    help="throttle --pcm-out to real time")
+    p.add_argument("--profile", help="capture a jax profiler trace of the "
+                                     "run into this directory (TensorBoard/"
+                                     "xprof format; the reference had only "
+                                     "a CPU-percent meter, radio.cpp:1222)")
 
 
 def _build_scan_parser(sub):
@@ -112,6 +125,9 @@ def _build_synth_parser(sub):
     p.add_argument("--radiotext", default="JAX/XLA broadcast FM receiver")
     p.add_argument("--carrier-offset", type=float, default=0.0)
     p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--int16", action="store_true",
+                   help="write 16-bit PCM IQ (rx reads it raw via "
+                        "--iq-format auto/i16 — half the input bytes)")
 
 
 def cmd_rx(args) -> int:
@@ -124,7 +140,30 @@ def cmd_rx(args) -> int:
     from .rds.blocksync import BlockSynchronizer, Group
     from .rds.groups import GroupDecoder
 
-    iq, rate = read_iq_wav(args.iq)
+    from .io.wavio import is_riff, read_iq_raw, read_iq_wav_raw
+    iq_fmt = args.iq_format
+    if not is_riff(args.iq):
+        # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
+        if iq_fmt not in ("u8", "i16"):
+            print("raw (non-wav) capture: pass --iq-format u8 or i16",
+                  file=sys.stderr)
+            return 2
+        iq, rate = read_iq_raw(args.iq, iq_fmt), C.INPUT_RATE
+    elif iq_fmt in ("auto", "i16"):
+        try:
+            iq, rate = read_iq_wav_raw(args.iq)
+            iq_fmt = "i16"
+        except ValueError:
+            if iq_fmt == "i16":
+                raise
+            iq, rate = read_iq_wav(args.iq)
+            iq_fmt = "c64"
+    elif iq_fmt == "u8":
+        print("--iq-format u8 applies to raw captures; wav inputs use "
+              "auto/c64/i16", file=sys.stderr)
+        return 2
+    else:
+        iq, rate = read_iq_wav(args.iq)
     if rate != C.INPUT_RATE:
         print(f"warning: capture rate {rate} != {C.INPUT_RATE}; "
               "proceeding with the contract rate", file=sys.stderr)
@@ -140,7 +179,7 @@ def cmd_rx(args) -> int:
         input_filter=args.input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
-        frontend=args.frontend, emit_taps=want_taps)
+        frontend=args.frontend, emit_taps=want_taps, iq_format=iq_fmt)
     rx = Receiver(cfg)
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0
@@ -178,17 +217,27 @@ def cmd_rx(args) -> int:
                                          cfg=cfg)
         print(f"resumed state from {args.load_state} {ck_meta}",
               file=sys.stderr)
-    if args.pcm_out:
-        from .io.pcmout import PCMSink
-        from .runtime.stream import run_streaming
-        with PCMSink(args.pcm_out, cfg.audio_rate, pace=args.pcm_pace) as sink:
-            res = run_streaming(rx, iq, controls, init_state=init_state,
-                                on_audio=sink.write)
-    else:
-        runner = run_offline_scanned if args.runner == "scan" else run_offline
-        res = runner(rx, iq, controls, collect_taps=want_taps,
-                     init_state=init_state)
+    import contextlib
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile)
+    with profile_cm:
+        if args.pcm_out:
+            from .io.pcmout import PCMSink
+            from .runtime.stream import run_streaming
+            with PCMSink(args.pcm_out, cfg.audio_rate,
+                         pace=args.pcm_pace) as sink:
+                res = run_streaming(rx, iq, controls, init_state=init_state,
+                                    on_audio=sink.write)
+        else:
+            runner = (run_offline_scanned if args.runner == "scan"
+                      else run_offline)
+            res = runner(rx, iq, controls, collect_taps=want_taps,
+                         init_state=init_state)
     dt = time.time() - t0
+    if args.profile:
+        print(f"wrote profiler trace to {args.profile}", file=sys.stderr)
     n_in = (len(iq) // cfg.block_in) * cfg.block_in
     rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")
     print(f"processed {n_in} IQ samples in {dt:.2f}s ({rt:.1f}x real-time)",
@@ -248,7 +297,11 @@ def cmd_rx(args) -> int:
     if args.spectra:
         from .models import scopes
         import jax.numpy as jnp
-        hf = np.asarray(scopes.spectrum_db(jnp.asarray(iq[: cfg.block_in])))
+        iq_c = iq[: cfg.block_in]
+        if iq_fmt != "c64":
+            iq_c = ((iq_c[:, 0] + 1j * iq_c[:, 1]) / 32768.0
+                    ).astype(np.complex64)
+        hf = np.asarray(scopes.spectrum_db(jnp.asarray(iq_c)))
         out_npz = {"hf_spectrum_db": hf}
         if "demod" in res.taps:
             d = res.taps["demod"]
@@ -370,7 +423,7 @@ def cmd_synth(args) -> int:
     iq = synth.fm_modulate(mpx, C.FM_RATE,
                            carrier_offset_hz=args.carrier_offset,
                            noise_std=args.noise)
-    write_iq_wav(args.out, iq, C.INPUT_RATE)
+    write_iq_wav(args.out, iq, C.INPUT_RATE, float32=not args.int16)
     print(f"wrote {args.out}: {len(iq)} IQ samples at {C.INPUT_RATE} S/s",
           file=sys.stderr)
     return 0

@@ -104,5 +104,56 @@ def read_iq_wav(path: str):
     return iq, info.rate
 
 
-def write_iq_wav(path: str, iq: np.ndarray, rate: int):
-    write_wav(path, np.stack([iq.real, iq.imag], axis=1), rate, float32=True)
+def read_iq_wav_raw(path: str):
+    """Read a 16-bit PCM IQ capture WITHOUT converting to float.
+
+    Returns (iq [n, 2] int16, rate).  Feeding this to a receiver configured
+    with iq_format='i16' is bit-identical to the complex64 path (the
+    on-device conversion is the same /32768 scaling read_wav applies) while
+    halving host→device bytes and the device's input-read traffic — the
+    chain's throughput ceiling (see ReceiverConfig.iq_format).
+    """
+    buf = open(path, "rb").read()
+    fmt = None
+    data = None
+    for cid, off, size in _parse_chunks(buf):
+        if cid == b"fmt ":
+            a_fmt, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", buf[off : off + 16])
+            if a_fmt == 0xFFFE and size >= 40:
+                a_fmt = struct.unpack("<H", buf[off + 24 : off + 26])[0]
+            fmt = WavInfo(rate=rate, channels=ch, sampwidth=bits // 8,
+                          fmt=a_fmt)
+        elif cid == b"data":
+            data = buf[off : off + size]
+    assert fmt is not None and data is not None, "missing fmt/data chunk"
+    if not (fmt.fmt == 1 and fmt.sampwidth == 2 and fmt.channels == 2):
+        raise ValueError(
+            f"raw i16 read needs 16-bit PCM stereo, got {fmt}")
+    x = np.frombuffer(data, dtype="<i2")
+    n = (len(x) // 2) * 2
+    return x[:n].reshape(-1, 2), fmt.rate
+
+
+def is_riff(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == b"RIFF"
+
+
+def read_iq_raw(path: str, fmt: str):
+    """Read a headerless interleaved-IQ capture (the rtl_sdr/hackrf_transfer
+    file convention — raw u8 or i16 pairs, no container).
+
+    fmt: 'u8' (rtl_sdr) or 'i16' (e.g. hackrf, airspy raw dumps).
+    Returns iq [n, 2] in the native dtype, ready for the matching
+    ReceiverConfig.iq_format.
+    """
+    dt = {"u8": np.uint8, "i16": "<i2"}[fmt]
+    x = np.fromfile(path, dtype=dt)
+    n = (len(x) // 2) * 2
+    return x[:n].reshape(-1, 2)
+
+
+def write_iq_wav(path: str, iq: np.ndarray, rate: int, float32: bool = True):
+    write_wav(path, np.stack([iq.real, iq.imag], axis=1), rate,
+              float32=float32)

@@ -82,6 +82,14 @@ class ReceiverConfig:
     # 25/3-tap cascade (fm-processor.cpp:68-75), whose ~0.9 droop at 38 kHz
     # caps stereo separation near 24 dB
     frontend: str = "flat"
+    # wire format of the IQ block fed to step().  The chain is HBM-bound on
+    # reading the 2.304 MS/s input, so narrow native formats are the main
+    # throughput lever: 'c64' [T] complex64; 'i16' [T,2] int16 (16-bit wav
+    # captures, scaled /32768 like the reference filereader); 'u8' [T,2]
+    # uint8 ((v-127)/128, the rtlsdr handler's conversion,
+    # rtlsdr-handler.cpp:285-294).  Conversion happens on-device, fused into
+    # the first elementwise stage.
+    iq_format: str = "c64"
     # FFT geometry
     input_fft: int = C.INPUT_FFT_SIZE
     input_hop: int = 49152
@@ -357,9 +365,22 @@ class Receiver:
             idx = jax.lax.axis_index(axis)
             return jnp.where(idx == 0, carry, left)
 
-        # --- input gains (setAttenuation, fm-processor.cpp:462-464) ---------
-        x = jax.lax.complex(jnp.real(iq) * controls.input_lgain,
-                            jnp.imag(iq) * controls.input_rgain)
+        # --- wire-format conversion + input gains (the deviceHandler's
+        # getSamples conversion, rtlsdr-handler.cpp:285-294 / filehulp.cpp,
+        # moved on-device and fused into the first elementwise stage) +
+        # (setAttenuation, fm-processor.cpp:462-464) --------------------------
+        if cfg.iq_format == "c64":
+            re, im = jnp.real(iq), jnp.imag(iq)
+        elif cfg.iq_format == "i16":
+            re = iq[:, 0].astype(jnp.float32) * (1.0 / 32768.0)
+            im = iq[:, 1].astype(jnp.float32) * (1.0 / 32768.0)
+        elif cfg.iq_format == "u8":
+            re = (iq[:, 0].astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+            im = (iq[:, 1].astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+        else:
+            raise ValueError(f"unknown iq_format {cfg.iq_format!r}")
+        x = jax.lax.complex(re * controls.input_lgain,
+                            im * controls.input_rgain)
 
         # --- DC servo (fm-processor.cpp:423-446).  Redesigned block-level:
         # the tracker's time constant is 1 s (alpha = 1/inputRate), so the
@@ -419,7 +440,8 @@ class Receiver:
              iq: Array) -> Tuple[ReceiverState, Output]:
         cfg = self.cfg
         T_in = cfg.block_in
-        assert iq.shape == (T_in,), (iq.shape, T_in)
+        want = (T_in,) if cfg.iq_format == "c64" else (T_in, 2)
+        assert iq.shape == want, (iq.shape, want)
 
         v, (dc_last, input_tail, tail1, tail2) = self.front_end(
             state, controls, iq)

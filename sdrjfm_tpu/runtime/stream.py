@@ -18,6 +18,22 @@ import numpy as np
 from ..models.receiver import Controls, Output, Receiver, default_controls
 
 
+def _wire_dtype(cfg):
+    import jax.numpy as jnp
+    return {"c64": jnp.complex64, "i16": jnp.int16,
+            "u8": jnp.uint8}[cfg.iq_format]
+
+
+def _stage_blocks(iq: np.ndarray, cfg, nblocks: int):
+    """Stack the capture into the step's wire format ([n,T] complex64 or
+    [n,T,2] int16/uint8 — see ReceiverConfig.iq_format)."""
+    T = cfg.block_in
+    x = jnp.asarray(iq[: nblocks * T], _wire_dtype(cfg))
+    if cfg.iq_format == "c64":
+        return x.reshape(nblocks, T)
+    return x.reshape(nblocks, T, 2)
+
+
 @dataclass
 class StreamResult:
     audio: np.ndarray                 # [n, 2] float32 at working rate
@@ -45,7 +61,7 @@ def run_offline_scan(rx: Receiver, iq: np.ndarray,
     T = cfg.block_in
     nblocks = len(iq) // T
     assert nblocks > 0
-    blocks = jnp.asarray(iq[: nblocks * T], jnp.complex64).reshape(nblocks, T)
+    blocks = _stage_blocks(iq, cfg, nblocks)
     state = init_state if init_state is not None else rx.init_state()
 
     @jax.jit
@@ -127,13 +143,14 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     step = rx.jit_step()
     state = init_state if init_state is not None else rx.init_state()
 
+    wire = _wire_dtype(cfg)
     audio_acc, metas, bits_acc, biq_acc = [], [], [], []
-    dev_blk = jax.device_put(jnp.asarray(iq[:T], jnp.complex64))
+    dev_blk = jax.device_put(jnp.asarray(iq[:T], wire))
     for b in range(nblocks):
         state, out = step(state, controls, dev_blk)
         if b + 1 < nblocks:          # stage the next block while this computes
             dev_blk = jax.device_put(
-                jnp.asarray(iq[(b + 1) * T:(b + 2) * T], jnp.complex64))
+                jnp.asarray(iq[(b + 1) * T:(b + 2) * T], wire))
         if b < drop_blocks:
             jax.block_until_ready(out.audio)
             continue
@@ -184,10 +201,11 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     step = rx.jit_step()
     state = init_state if init_state is not None else rx.init_state()
 
+    wire = _wire_dtype(cfg)
     audio, metas, bits, biq = [], [], [], []
     tap_acc: dict = {}
     for b in range(nblocks):
-        blk = jnp.asarray(iq[b * T : (b + 1) * T], jnp.complex64)
+        blk = jnp.asarray(iq[b * T : (b + 1) * T], wire)
         state, out = step(state, controls, blk)
         if b < drop_blocks:
             continue

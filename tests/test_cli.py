@@ -218,3 +218,69 @@ def test_squelch_auto_closes_on_noise(tmp_path):
     t = np.arange(131072) / 192000.0
     station = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
     assert auto_squelch_level(station) > lvl + 20.0
+
+
+def test_profile_trace(capture, tmp_path):
+    trace = str(tmp_path / "trace")
+    audio = str(tmp_path / "a.wav")
+    assert main(["rx", "--iq", capture, "--audio", audio,
+                 "--block-fm", "32768", "--profile", trace]) == 0
+    import glob
+    import os
+    assert os.path.isdir(trace)
+    assert glob.glob(trace + "/**/*.xplane.pb", recursive=True) or \
+        glob.glob(trace + "/**/*.trace.json.gz", recursive=True)
+
+
+def test_iq_format_i16_auto(tmp_path):
+    """synth --int16 -> rx --iq-format auto reads raw PCM16 and matches the
+    float-read run exactly."""
+    iq = str(tmp_path / "iq16.wav")
+    assert main(["synth", "--out", iq, "--seconds", "2", "--int16",
+                 "--station", "I16TEST", "--pi", "0x1A2B"]) == 0
+    a1 = str(tmp_path / "a1.wav")
+    r1 = str(tmp_path / "r1.json")
+    a2 = str(tmp_path / "a2.wav")
+    r2 = str(tmp_path / "r2.json")
+    assert main(["rx", "--iq", iq, "--audio", a1, "--rds", "--report", r1,
+                 "--block-fm", "32768", "--iq-format", "auto"]) == 0
+    assert main(["rx", "--iq", iq, "--audio", a2, "--rds", "--report", r2,
+                 "--block-fm", "32768", "--iq-format", "c64"]) == 0
+    x1, _ = read_wav(a1)
+    x2, _ = read_wav(a2)
+    np.testing.assert_array_equal(x1, x2)
+    rep1, rep2 = json.load(open(r1)), json.load(open(r2))
+    assert rep1["rds"]["pi_code"] == rep2["rds"]["pi_code"] == "0x1A2B"
+
+
+def test_raw_u8_capture(tmp_path):
+    """Headerless u8 capture (the rtl_sdr file convention) decodes RDS."""
+    import numpy as np
+    from sdrjfm_tpu import constants as C
+    from sdrjfm_tpu.io import synth
+    from sdrjfm_tpu.rds import encode
+
+    n = 17 * 32768              # ~2.9 s, same shape as the synth CLI fixture
+    t = np.arange(n) / C.FM_RATE
+    bits = encode.make_bitstream(pi=0xCAFE, pty=1, station="RAWU8   ",
+                                 radiotext="raw capture", repeats=3)
+    mpx = synth.synth_mpx(0.4 * np.sin(2 * np.pi * 900 * t),
+                          0.4 * np.sin(2 * np.pi * 500 * t),
+                          synth.MPXParams(rds_level=0.07),
+                          rds_bits=encode.differential_encode(bits))
+    iq = synth.fm_modulate(mpx, C.FM_RATE)
+    u8 = np.stack([np.round(iq.real * 128.0) + 127,
+                   np.round(iq.imag * 128.0) + 127],
+                  axis=1).clip(0, 255).astype(np.uint8)
+    raw = str(tmp_path / "cap.bin")
+    u8.tofile(raw)
+    rep = str(tmp_path / "rep.json")
+    audio = str(tmp_path / "a.wav")
+    assert main(["rx", "--iq", raw, "--iq-format", "u8", "--audio", audio,
+                 "--rds", "--report", rep, "--block-fm", "32768"]) == 0
+    r = json.load(open(rep))
+    assert r["rds"]["pi_code"] == "0xCAFE"
+    assert r["rds"]["station_label"].strip() == "RAWU8"
+    # missing format flag on a raw file is a clean error, not a crash
+    assert main(["rx", "--iq", raw, "--audio", audio,
+                 "--block-fm", "32768"]) == 2
