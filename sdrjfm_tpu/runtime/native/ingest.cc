@@ -248,3 +248,163 @@ void sdr_source_close(SdrSource* s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Raw passthrough source: the ring carries native-width integer IQ frames
+// (i16 pairs from 16-bit PCM wavs, u8/i16 pairs from headerless rtl_sdr/
+// hackrf-style captures).  No host float conversion — the device does it in
+// the receiver's first fused stage (ReceiverConfig.iq_format), so the host
+// ring, the copy out, and the H2D staging all move 2-4x fewer bytes than
+// the float source above.
+// ---------------------------------------------------------------------------
+
+struct SdrRawSource {
+  SpscRing<uint8_t> ring;     // interleaved frames, frame_bytes each
+  std::thread worker;
+  std::atomic<bool> running{false};
+  std::atomic<uint64_t> produced{0};
+  std::atomic<uint64_t> dropped{0};
+  std::atomic<int> eof{0};
+  FILE* file = nullptr;
+  uint32_t rate = 0;
+  int frame_bytes = 0;        // 2 (u8 IQ) or 4 (i16 IQ)
+  long data_offset = 0;
+  long data_bytes = 0;
+  bool pace;
+  bool loop;
+
+  SdrRawSource(size_t ring_frames, int frame_bytes_, bool pace_, bool loop_)
+      : ring(ring_frames * frame_bytes_), frame_bytes(frame_bytes_),
+        pace(pace_), loop(loop_) {}
+};
+
+extern "C" {
+
+// 16-bit PCM stereo wav as raw i16 frames.  Returns nullptr if the file is
+// not PCM16 stereo (use sdr_wav_source_open for the converting path).
+SdrRawSource* sdr_raw_wav_open(const char* path, size_t ring_frames,
+                               int pace, int loop) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  WavInfo info;
+  if (!parse_wav(f, &info) || info.fmt != 1 || info.bits != 16 ||
+      info.channels != 2) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* s = new SdrRawSource(ring_frames, 4, pace != 0, loop != 0);
+  s->file = f;
+  s->rate = info.rate;
+  s->data_offset = info.data_offset;
+  s->data_bytes = info.data_bytes;
+  return s;
+}
+
+// Headerless interleaved capture (rtl_sdr u8: bytes_per_component=1;
+// hackrf-style i16: bytes_per_component=2).  rate is caller-asserted (raw
+// files carry no header).
+SdrRawSource* sdr_raw_file_open(const char* path, size_t ring_frames,
+                                int pace, int loop, int bytes_per_component,
+                                uint32_t rate) {
+  if (bytes_per_component != 1 && bytes_per_component != 2) return nullptr;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long bytes = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  auto* s = new SdrRawSource(ring_frames, 2 * bytes_per_component,
+                             pace != 0, loop != 0);
+  s->file = f;
+  s->rate = rate;
+  s->data_offset = 0;
+  s->data_bytes = bytes - bytes % s->frame_bytes;
+  return s;
+}
+
+uint32_t sdr_raw_rate(SdrRawSource* s) { return s->rate; }
+int sdr_raw_frame_bytes(SdrRawSource* s) { return s->frame_bytes; }
+
+void sdr_raw_start(SdrRawSource* s) {
+  if (s->running.load()) return;
+  s->running.store(true);
+  fseek(s->file, s->data_offset, SEEK_SET);
+  s->worker = std::thread([s]() {
+    const size_t slice = s->pace ? s->rate / 100 : 65536;
+    const size_t fb = (size_t)s->frame_bytes;
+    std::vector<uint8_t> raw(slice * fb);
+    auto next_emit = std::chrono::steady_clock::now();
+    long remaining = s->data_bytes / (long)fb;
+    while (s->running.load(std::memory_order_relaxed)) {
+      size_t want = slice;
+      if ((long)want > remaining) want = (size_t)remaining;
+      size_t got = want ? fread(raw.data(), fb, want, s->file) : 0;
+      if (got == 0) {
+        if (s->loop) {
+          fseek(s->file, s->data_offset, SEEK_SET);
+          remaining = s->data_bytes / (long)fb;
+          continue;
+        }
+        s->eof.store(1);
+        break;
+      }
+      remaining -= (long)got;
+      size_t put = 0;
+      while (put < got * fb && s->running.load(std::memory_order_relaxed)) {
+        size_t n = s->ring.put(raw.data() + put, got * fb - put);
+        put += n;
+        if (n == 0) {
+          if (s->pace) {
+            s->dropped.fetch_add((got * fb - put) / fb);
+            break;
+          }
+          std::this_thread::sleep_for(std::chrono::microseconds(200));
+        }
+      }
+      s->produced.fetch_add(got);
+      if (s->pace) {
+        next_emit += std::chrono::microseconds(10'000);
+        std::this_thread::sleep_until(next_emit);
+      }
+    }
+    s->running.store(false);
+  });
+}
+
+size_t sdr_raw_read_blocking(SdrRawSource* s, uint8_t* dst, size_t n_frames,
+                             long timeout_ms) {
+  const size_t fb = (size_t)s->frame_bytes;
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < n_frames) {
+    got += s->ring.get(dst + fb * got, (n_frames - got) * fb) / fb;
+    if (got >= n_frames) break;
+    if (s->eof.load() && s->ring.readAvailable() < fb) break;
+    if (timeout_ms >= 0 && std::chrono::steady_clock::now() > deadline) break;
+    std::this_thread::sleep_for(std::chrono::microseconds(500));
+  }
+  return got;
+}
+
+size_t sdr_raw_available(SdrRawSource* s) {
+  return s->ring.readAvailable() / (size_t)s->frame_bytes;
+}
+
+uint64_t sdr_raw_dropped(SdrRawSource* s) { return s->dropped.load(); }
+int sdr_raw_eof(SdrRawSource* s) {
+  return s->eof.load() &&
+         s->ring.readAvailable() < (size_t)s->frame_bytes;
+}
+
+void sdr_raw_stop(SdrRawSource* s) {
+  s->running.store(false);
+  if (s->worker.joinable()) s->worker.join();
+}
+
+void sdr_raw_close(SdrRawSource* s) {
+  sdr_raw_stop(s);
+  if (s->file) fclose(s->file);
+  delete s;
+}
+
+}  // extern "C"

@@ -33,12 +33,16 @@ def load_library(build: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and build:
+    stale = (_LIB_PATH.exists()
+             and (_NATIVE_DIR / "ingest.cc").stat().st_mtime
+             > _LIB_PATH.stat().st_mtime)
+    if (not _LIB_PATH.exists() or stale) and build:
         try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True)
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "-B"],
+                           check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError) as e:
-            raise NativeUnavailable(f"cannot build native ingest: {e}")
+            if not _LIB_PATH.exists():
+                raise NativeUnavailable(f"cannot build native ingest: {e}")
     if not _LIB_PATH.exists():
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
@@ -64,6 +68,31 @@ def load_library(build: bool = True):
     lib.sdr_source_dropped.argtypes = [ctypes.c_void_p]
     lib.sdr_source_eof.restype = ctypes.c_int
     lib.sdr_source_eof.argtypes = [ctypes.c_void_p]
+    # raw passthrough source (integer frames, no host float conversion)
+    lib.sdr_raw_wav_open.restype = ctypes.c_void_p
+    lib.sdr_raw_wav_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                     ctypes.c_int, ctypes.c_int]
+    lib.sdr_raw_file_open.restype = ctypes.c_void_p
+    lib.sdr_raw_file_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_uint32]
+    lib.sdr_raw_rate.restype = ctypes.c_uint32
+    lib.sdr_raw_rate.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_frame_bytes.restype = ctypes.c_int
+    lib.sdr_raw_frame_bytes.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_raw_read_blocking.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_uint8),
+                                          ctypes.c_size_t, ctypes.c_long]
+    lib.sdr_raw_available.restype = ctypes.c_size_t
+    lib.sdr_raw_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_dropped.restype = ctypes.c_uint64
+    lib.sdr_raw_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_eof.restype = ctypes.c_int
+    lib.sdr_raw_eof.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -117,6 +146,88 @@ class NativeWavSource:
     def close(self):
         if self._h:
             self._lib.sdr_source_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativeRawSource:
+    """Raw-passthrough streaming source: the ring carries native-width
+    integer IQ frames (i16 from PCM16 wavs, u8/i16 from headerless rtl_sdr/
+    hackrf captures) — 2-4x less ring traffic than the float source, and the
+    blocks feed ReceiverConfig.iq_format='i16'/'u8' directly, so the
+    int->float conversion happens on-device.
+
+    path ending in .wav (RIFF): must be PCM16 stereo.  Otherwise a raw file;
+    pass fmt='u8' or 'i16' and the rate (raw files carry no header).
+    """
+
+    def __init__(self, path: str, fmt: str = None, rate: int = 2_304_000,
+                 ring_frames: int = 1 << 22, pace: bool = False,
+                 loop: bool = False):
+        self._lib = load_library()
+        with open(path, "rb") as f:
+            riff = f.read(4) == b"RIFF"
+        if riff:
+            self._h = self._lib.sdr_raw_wav_open(
+                str(path).encode(), ring_frames, int(pace), int(loop))
+            self.fmt = "i16"
+        else:
+            if fmt not in ("u8", "i16"):
+                raise ValueError("raw capture needs fmt='u8' or 'i16'")
+            self._h = self._lib.sdr_raw_file_open(
+                str(path).encode(), ring_frames, int(pace), int(loop),
+                1 if fmt == "u8" else 2, rate)
+            self.fmt = fmt
+        if not self._h:
+            raise IOError(f"cannot open raw source {path}")
+        self._dtype = np.uint8 if self.fmt == "u8" else np.int16
+
+    @property
+    def rate(self) -> int:
+        return int(self._lib.sdr_raw_rate(self._h))
+
+    def start(self):
+        self._lib.sdr_raw_start(self._h)
+
+    def stop(self):
+        self._lib.sdr_raw_stop(self._h)
+
+    def _require_open(self):
+        if not self._h:
+            raise RuntimeError("source is closed")
+
+    def available(self) -> int:
+        self._require_open()
+        return int(self._lib.sdr_raw_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        self._require_open()
+        return int(self._lib.sdr_raw_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        self._require_open()
+        return bool(self._lib.sdr_raw_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] u8/i16 (the iq_format layout)."""
+        fb = int(self._lib.sdr_raw_frame_bytes(self._h))
+        buf = np.empty(n_frames * fb, dtype=np.uint8)
+        got = self._lib.sdr_raw_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * fb].view(self._dtype).reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_raw_close(self._h)
             self._h = None
 
     def __enter__(self):

@@ -85,3 +85,40 @@ class TestNativeSource:
             assert len(blk) == rx.cfg.block_in
             state, out = step(state, ctl, blk)
         assert np.isfinite(np.asarray(out.audio)).all()
+
+
+class TestRawPassthrough:
+    def test_raw_wav_i16_matches_reader(self, tmp_path):
+        """Native raw source delivers PCM16 wav frames byte-identically."""
+        from sdrjfm_tpu.io.wavio import read_iq_wav_raw, write_iq_wav
+        from sdrjfm_tpu.runtime.native_source import NativeRawSource
+        rng = np.random.default_rng(3)
+        iq = (rng.standard_normal(50000) + 1j * rng.standard_normal(50000)
+              ).astype(np.complex64) * 0.1
+        path = str(tmp_path / "cap16.wav")
+        write_iq_wav(path, iq, 2_304_000, float32=False)
+        want, rate = read_iq_wav_raw(path)
+        with NativeRawSource(path) as src:
+            assert src.rate == 2_304_000 and src.fmt == "i16"
+            got = src.read_block(50000)
+        np.testing.assert_array_equal(got, want)
+
+    def test_raw_file_u8(self, tmp_path):
+        """Headerless u8 capture (rtl_sdr convention) streams raw bytes."""
+        from sdrjfm_tpu.runtime.native_source import NativeRawSource
+        rng = np.random.default_rng(4)
+        u8 = rng.integers(0, 256, size=(30000, 2), dtype=np.uint8)
+        path = str(tmp_path / "cap.bin")
+        u8.tofile(path)
+        with NativeRawSource(path, fmt="u8") as src:
+            got = src.read_block(30000)
+            assert src.dropped == 0
+        np.testing.assert_array_equal(got, u8)
+
+    def test_raw_wav_rejects_float32(self, tmp_path):
+        from sdrjfm_tpu.io.wavio import write_iq_wav
+        from sdrjfm_tpu.runtime.native_source import NativeRawSource
+        path = str(tmp_path / "f32.wav")
+        write_iq_wav(path, np.zeros(100, np.complex64), 2_304_000)
+        with pytest.raises(IOError):
+            NativeRawSource(path)
