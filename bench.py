@@ -51,9 +51,7 @@ def main():
     bits = (rng.random(30000) > 0.5).astype(np.int8)
     mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
     iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in * nblocks]
-    i16 = np.stack([np.round(iq_np.real * 32768.0),
-                    np.round(iq_np.imag * 32768.0)],
-                   axis=1).clip(-32768, 32767).astype(np.int16)
+    i16 = synth.iq_to_i16(iq_np)
     blocks = jax.device_put(jnp.asarray(i16)
                             .reshape(nblocks, cfg.block_in, 2))
 

@@ -195,16 +195,16 @@ def cmd_rx(args) -> int:
         input_rgain=jnp.asarray(1.0, jnp.float32),
         squelch_level=jnp.asarray(sq_level, jnp.float32))
     if sq_auto:
-        # profile the first block (squelch open, demod tap on) and pick the
-        # slider level from the measured band-energy ratio
-        from dataclasses import replace
-        from .ops.squelch import auto_squelch_level
-        from .runtime.stream import run_offline
-        prof_rx = Receiver(replace(cfg, squelch="off", rds="off",
-                                   emit_taps=True))
-        prof = run_offline(prof_rx, iq[: cfg.block_in], controls,
-                           collect_taps=True)
-        lvl = auto_squelch_level(prof.taps["demod"], cfg.fm_rate)
+        if args.squelch != "nsq":
+            print("--squelch-level auto requires --squelch nsq (the profile "
+                  "measures the noise-squelch band ratio)", file=sys.stderr)
+            return 2
+        # profile the first block host-side (scipy demod — no second TPU
+        # compile) and pick the slider level from the band-energy ratio
+        from .ops.squelch import auto_squelch_level, host_demod_profile
+        demod0 = host_demod_profile(iq[: cfg.block_in], cfg.iq_format,
+                                    args.freq_offset)
+        lvl = auto_squelch_level(demod0, cfg.fm_rate)
         print(f"auto squelch level: {lvl:.1f}", file=sys.stderr)
         controls = controls._replace(
             squelch_level=jnp.asarray(lvl, jnp.float32))
@@ -229,7 +229,8 @@ def cmd_rx(args) -> int:
             with PCMSink(args.pcm_out, cfg.audio_rate,
                          pace=args.pcm_pace) as sink:
                 res = run_streaming(rx, iq, controls, init_state=init_state,
-                                    on_audio=sink.write)
+                                    on_audio=sink.write,
+                                    collect_taps=want_taps)
         else:
             runner = (run_offline_scanned if args.runner == "scan"
                       else run_offline)
@@ -298,8 +299,12 @@ def cmd_rx(args) -> int:
         from .models import scopes
         import jax.numpy as jnp
         iq_c = iq[: cfg.block_in]
-        if iq_fmt != "c64":
+        if iq_fmt == "i16":
             iq_c = ((iq_c[:, 0] + 1j * iq_c[:, 1]) / 32768.0
+                    ).astype(np.complex64)
+        elif iq_fmt == "u8":
+            iq_c = (((iq_c[:, 0].astype(np.float32) - 127.0)
+                     + 1j * (iq_c[:, 1].astype(np.float32) - 127.0)) / 128.0
                     ).astype(np.complex64)
         hf = np.asarray(scopes.spectrum_db(jnp.asarray(iq_c)))
         out_npz = {"hf_spectrum_db": hf}

@@ -120,3 +120,20 @@ def expected_demod_gain(deviation_hz: float = 75000.0,
     demod = 20/K_FM * inst_freq[rad/sample at fmRate]  (fm-demodulator.cpp:205)
     """
     return (C.DEMOD_GAIN / C.k_fm(rate)) * 2.0 * np.pi * deviation_hz / rate
+
+
+def iq_to_i16(iq: np.ndarray) -> np.ndarray:
+    """Quantize complex IQ to the i16 wire format ([n, 2] int16, the PCM16
+    wav layout read back by wavio.read_iq_wav_raw / ReceiverConfig
+    iq_format='i16')."""
+    return np.stack([np.round(iq.real * 32768.0),
+                     np.round(iq.imag * 32768.0)],
+                    axis=1).clip(-32768, 32767).astype(np.int16)
+
+
+def iq_to_u8(iq: np.ndarray) -> np.ndarray:
+    """Quantize complex IQ to the u8 wire format ([n, 2] uint8, the rtlsdr
+    handler's (v-127)/128 convention inverted)."""
+    return np.stack([np.round(iq.real * 128.0) + 127,
+                     np.round(iq.imag * 128.0) + 127],
+                    axis=1).clip(0, 255).astype(np.uint8)

@@ -33,9 +33,8 @@ def _parse_chunks(buf: bytes):
         pos += 8 + size + (size & 1)
 
 
-def read_wav(path: str):
-    """Returns (data [n, channels] float32 in [-1, 1), WavInfo)."""
-    buf = open(path, "rb").read()
+def _parse_fmt_and_data(buf: bytes):
+    """Returns (WavInfo, data bytes) from a RIFF buffer."""
     fmt = None
     data = None
     for cid, off, size in _parse_chunks(buf):
@@ -44,10 +43,17 @@ def read_wav(path: str):
                 "<HHIIHH", buf[off : off + 16])
             if a_fmt == 0xFFFE and size >= 40:   # WAVE_FORMAT_EXTENSIBLE
                 a_fmt = struct.unpack("<H", buf[off + 24 : off + 26])[0]
-            fmt = WavInfo(rate=rate, channels=ch, sampwidth=bits // 8, fmt=a_fmt)
+            fmt = WavInfo(rate=rate, channels=ch, sampwidth=bits // 8,
+                          fmt=a_fmt)
         elif cid == b"data":
             data = buf[off : off + size]
     assert fmt is not None and data is not None, "missing fmt/data chunk"
+    return fmt, data
+
+
+def read_wav(path: str):
+    """Returns (data [n, channels] float32 in [-1, 1), WavInfo)."""
+    fmt, data = _parse_fmt_and_data(open(path, "rb").read())
 
     if fmt.fmt == 3:
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
@@ -113,20 +119,7 @@ def read_iq_wav_raw(path: str):
     halving host→device bytes and the device's input-read traffic — the
     chain's throughput ceiling (see ReceiverConfig.iq_format).
     """
-    buf = open(path, "rb").read()
-    fmt = None
-    data = None
-    for cid, off, size in _parse_chunks(buf):
-        if cid == b"fmt ":
-            a_fmt, ch, rate, _, _, bits = struct.unpack(
-                "<HHIIHH", buf[off : off + 16])
-            if a_fmt == 0xFFFE and size >= 40:
-                a_fmt = struct.unpack("<H", buf[off + 24 : off + 26])[0]
-            fmt = WavInfo(rate=rate, channels=ch, sampwidth=bits // 8,
-                          fmt=a_fmt)
-        elif cid == b"data":
-            data = buf[off : off + size]
-    assert fmt is not None and data is not None, "missing fmt/data chunk"
+    fmt, data = _parse_fmt_and_data(open(path, "rb").read())
     if not (fmt.fmt == 1 and fmt.sampwidth == 2 and fmt.channels == 2):
         raise ValueError(
             f"raw i16 read needs 16-bit PCM stereo, got {fmt}")

@@ -125,6 +125,36 @@ def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
     return x * gate, new
 
 
+def host_demod_profile(iq: np.ndarray, iq_format: str = "c64",
+                       lo_freq_hz: int = 0,
+                       input_rate: int = C.INPUT_RATE) -> np.ndarray:
+    """Cheap host-side (numpy/scipy) FM demod of one input block, for
+    profiling only (auto_squelch_level) — avoids compiling a second
+    receiver configuration just to tap demod.
+
+    Convert -> LO mix -> decimate ÷12 -> quadrature discriminator.  Not the
+    production chain (plain scipy decimator, no DC servo); band-energy
+    RATIOS at fmRate are what the profile needs, and those are insensitive
+    to the kernel details.
+    """
+    from scipy import signal
+    if iq_format == "i16":
+        x = (iq[:, 0].astype(np.float32)
+             + 1j * iq[:, 1].astype(np.float32)) / 32768.0
+    elif iq_format == "u8":
+        x = ((iq[:, 0].astype(np.float32) - 127.0)
+             + 1j * (iq[:, 1].astype(np.float32) - 127.0)) / 128.0
+    else:
+        x = np.asarray(iq, np.complex64)
+    if lo_freq_hz:
+        n = np.arange(len(x), dtype=np.float64)
+        x = x * np.exp(-2j * np.pi * lo_freq_hz / input_rate * n)
+    k = design.lowpass_sinc(127, 110000.0, input_rate)
+    v = signal.lfilter(k, [1.0], x)[11::12]
+    d = np.angle(v[1:] * np.conj(v[:-1]))
+    return d.astype(np.float32)
+
+
 def auto_squelch_level(demod: np.ndarray, rate: int = C.FM_RATE,
                        key_freq: int = 70000, margin: float = 0.5) -> float:
     """Pick a noise-squelch slider level from a measured demod segment.

@@ -34,9 +34,17 @@ class CheckpointError(RuntimeError):
 
 
 def config_fingerprint(cfg) -> str:
-    """Stable hash of a ReceiverConfig (any dataclass with repr fields)."""
+    """Stable hash of a ReceiverConfig (any dataclass with repr fields).
+
+    Fields that change only the input wire layout, not the DSP state
+    (iq_format — tests/test_iq_format.py proves formats are bit-identical),
+    are excluded so a resume may switch formats; this also keeps
+    fingerprints of configs predating the field compatible.
+    """
     from dataclasses import asdict
-    blob = json.dumps(asdict(cfg), sort_keys=True, default=str)
+    d = asdict(cfg)
+    d.pop("iq_format", None)
+    blob = json.dumps(d, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 

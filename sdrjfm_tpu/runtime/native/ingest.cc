@@ -158,6 +158,9 @@ static void convert_frames(const WavInfo& info, const uint8_t* raw,
 // Starts the producer thread (restartReader equivalent).
 void sdr_source_start(SdrSource* s) {
   if (s->running.load()) return;
+  // a worker that self-terminated (EOF) is still joinable; reap it before
+  // move-assigning a new thread (else std::terminate)
+  if (s->worker.joinable()) s->worker.join();
   s->running.store(true);
   fseek(s->file, s->info.data_offset, SEEK_SET);
   s->worker = std::thread([s]() {
@@ -326,6 +329,7 @@ int sdr_raw_frame_bytes(SdrRawSource* s) { return s->frame_bytes; }
 
 void sdr_raw_start(SdrRawSource* s) {
   if (s->running.load()) return;
+  if (s->worker.joinable()) s->worker.join();  // reap an EOF'd worker
   s->running.store(true);
   fseek(s->file, s->data_offset, SEEK_SET);
   s->worker = std::thread([s]() {

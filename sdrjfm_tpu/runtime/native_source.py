@@ -46,6 +46,12 @@ def load_library(build: bool = True):
     if not _LIB_PATH.exists():
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib.sdr_raw_wav_open          # newest ABI symbol; probes staleness
+    except AttributeError:
+        raise NativeUnavailable(
+            "libsdrjfm_ingest.so is stale (missing sdr_raw_* symbols) and "
+            "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                         ctypes.c_int, ctypes.c_int]
@@ -190,12 +196,15 @@ class NativeRawSource:
 
     @property
     def rate(self) -> int:
+        self._require_open()
         return int(self._lib.sdr_raw_rate(self._h))
 
     def start(self):
+        self._require_open()
         self._lib.sdr_raw_start(self._h)
 
     def stop(self):
+        self._require_open()
         self._lib.sdr_raw_stop(self._h)
 
     def _require_open(self):

@@ -116,7 +116,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                   init_state=None,
                   on_audio=None, on_meta=None, on_rds_bits=None,
                   drop_blocks: int = 0,
-                  keep_outputs: bool = True) -> StreamResult:
+                  keep_outputs: bool = True,
+                  collect_taps: bool = False) -> StreamResult:
     """Streaming block driver: per-block callbacks + double-buffered input.
 
     Block k+1's host→device transfer is issued (async `jax.device_put`)
@@ -145,6 +146,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
 
     wire = _wire_dtype(cfg)
     audio_acc, metas, bits_acc, biq_acc = [], [], [], []
+    tap_acc: dict = {}
     dev_blk = jax.device_put(jnp.asarray(iq[:T], wire))
     for b in range(nblocks):
         state, out = step(state, controls, dev_blk)
@@ -172,6 +174,9 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
             if blk_bits is not None:
                 bits_acc.append(blk_bits)
                 biq_acc.append(np.asarray(out.rds.iq)[:n])
+        if collect_taps and out.taps:
+            for k, v in out.taps.items():
+                tap_acc.setdefault(k, []).append(np.asarray(v))
 
     res = StreamResult(
         audio=(np.concatenate(audio_acc, axis=0) if audio_acc
@@ -180,6 +185,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     if bits_acc:
         res.rds_bits = np.concatenate(bits_acc)
         res.rds_iq = np.concatenate(biq_acc)
+    if tap_acc:
+        res.taps = {k: np.concatenate(v) for k, v in tap_acc.items()}
     return res
 
 

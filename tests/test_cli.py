@@ -269,9 +269,7 @@ def test_raw_u8_capture(tmp_path):
                           synth.MPXParams(rds_level=0.07),
                           rds_bits=encode.differential_encode(bits))
     iq = synth.fm_modulate(mpx, C.FM_RATE)
-    u8 = np.stack([np.round(iq.real * 128.0) + 127,
-                   np.round(iq.imag * 128.0) + 127],
-                  axis=1).clip(0, 255).astype(np.uint8)
+    u8 = synth.iq_to_u8(iq)
     raw = str(tmp_path / "cap.bin")
     u8.tofile(raw)
     rep = str(tmp_path / "rep.json")
@@ -284,3 +282,23 @@ def test_raw_u8_capture(tmp_path):
     # missing format flag on a raw file is a clean error, not a crash
     assert main(["rx", "--iq", raw, "--audio", audio,
                  "--block-fm", "32768"]) == 2
+
+
+def test_squelch_auto_requires_nsq(capture, tmp_path):
+    audio = str(tmp_path / "a.wav")
+    assert main(["rx", "--iq", capture, "--audio", audio,
+                 "--block-fm", "32768", "--squelch", "lsq",
+                 "--squelch-level", "auto"]) == 2
+
+
+def test_checkpoint_survives_iq_format_switch(tmp_path):
+    """A state saved from an i16 run resumes a c64 run (wire format is not
+    part of the DSP fingerprint)."""
+    iq = str(tmp_path / "iq16.wav")
+    assert main(["synth", "--out", iq, "--seconds", "2", "--int16"]) == 0
+    st = str(tmp_path / "state.npz")
+    a = str(tmp_path / "a.wav")
+    assert main(["rx", "--iq", iq, "--audio", a, "--block-fm", "32768",
+                 "--iq-format", "i16", "--save-state", st]) == 0
+    assert main(["rx", "--iq", iq, "--audio", a, "--block-fm", "32768",
+                 "--iq-format", "c64", "--load-state", st]) == 0

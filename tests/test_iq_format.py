@@ -24,11 +24,7 @@ def capture_i16():
                           0.5 * np.sin(2 * np.pi * 300 * t),
                           synth.MPXParams())
     iq = synth.fm_modulate(mpx, C.FM_RATE)
-    i16 = np.stack([
-        np.clip(np.round(iq.real * 32768.0), -32768, 32767),
-        np.clip(np.round(iq.imag * 32768.0), -32768, 32767)],
-        axis=1).astype(np.int16)
-    return i16
+    return synth.iq_to_i16(iq)
 
 
 def _run(iq, fmt, **cfg_kw):
@@ -61,9 +57,7 @@ class TestI16:
                               0.5 * np.sin(2 * np.pi * 300 * t),
                               synth.MPXParams(rds_level=0.07), rds_bits=syms)
         iq = synth.fm_modulate(mpx, C.FM_RATE)
-        i16 = np.stack([np.round(iq.real * 32768.0),
-                        np.round(iq.imag * 32768.0)],
-                       axis=1).clip(-32768, 32767).astype(np.int16)
+        i16 = synth.iq_to_i16(iq)
         res = _run(i16, "i16", audio_filter_hz=15000)
         sync = BlockSynchronizer()
         grp = Group()

@@ -38,9 +38,7 @@ def test_global_block_feeds_sharded_receiver():
                           0.5 * np.sin(2 * np.pi * 300 * t),
                           synth.MPXParams())
     iq = synth.fm_modulate(mpx, C.FM_RATE)[:n]
-    i16 = np.stack([np.round(iq.real * 32768.0),
-                    np.round(iq.imag * 32768.0)],
-                   axis=1).clip(-32768, 32767).astype(np.int16)
+    i16 = synth.iq_to_i16(iq)
 
     mesh = MH.make_global_mesh()
     lo, hi = MH.host_slice(n)

@@ -29,14 +29,9 @@ def run_variant(iq_np, block_fm, iq_format, nblocks):
         blocks = jnp.asarray(iq_np[: nblocks * T], jnp.complex64
                              ).reshape(nblocks, T)
     else:
-        x = np.stack([np.round(iq_np.real * 32768.0),
-                      np.round(iq_np.imag * 32768.0)],
-                     axis=1).clip(-32768, 32767)
-        if iq_format == "i16":
-            arr = x.astype(np.int16)
-        else:
-            arr = ((x.astype(np.int32) >> 9) + 127).clip(0, 255
-                                                         ).astype(np.uint8)
+        from sdrjfm_tpu.io import synth as _synth
+        arr = (_synth.iq_to_i16(iq_np) if iq_format == "i16"
+               else _synth.iq_to_u8(iq_np))
         blocks = jnp.asarray(arr[: nblocks * T]).reshape(nblocks, T, 2)
     blocks = jax.device_put(blocks)
 
