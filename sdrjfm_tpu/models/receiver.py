@@ -249,15 +249,32 @@ class Receiver:
         else:
             self._sd = None
             self.scan_cfg = None
-        # audio lowpass (fmAudioFilter 8192/756) + deemphasis + ÷4
+        # audio lowpass (fmAudioFilter 8192/756) + deemphasis + ÷4.
+        # The deemphasis one-pole (fm-processor.cpp:593-595) is LTI, so when
+        # the audio filter runs it is folded into the same overlap-save
+        # kernel: k_comb = k_af * (a·(1-a)^n truncated where (1-a)^n
+        # underflows fp32) — exact to fp32 precision, and it removes a
+        # full-rate associative scan from the hot path.  Without the audio
+        # filter the scan path remains (deemph_folded = False).
+        self.deemph_alpha = C.deemphasis_alpha(cfg.deemphasis_us, fs_fm)
+        self.deemph_folded = False
         if cfg.audio_filter_hz > 0:
             k_af = design.lowpass_sinc(C.AUDIO_FILTER_DEGREE,
                                        cfg.audio_filter_hz, fs_fm)
+            a = self.deemph_alpha
+            max_deg = cfg.fm_fft - cfg.fm_hop + 1 - len(k_af)
+            if a < 1.0:
+                L = min(max_deg, int(np.ceil(-104.0 / np.log2(1.0 - a))))
+                k_d = a * (1.0 - a) ** np.arange(L, dtype=np.float64)
+            else:
+                k_d = np.ones(1)
+            if len(k_d) <= max_deg:
+                k_af = np.convolve(np.asarray(k_af, np.float64), k_d)
+                self.deemph_folded = True
             self.H_audio = design.fft_filter_response(
                 k_af, cfg.fm_fft).astype(np.complex64)
         else:
             self.H_audio = None
-        self.deemph_alpha = C.deemphasis_alpha(cfg.deemphasis_us, fs_fm)
         self.k_audio_decim = design.polyphase_resampler_kernel(
             fs_fm // cfg.working_rate).astype(np.float32)
         if cfg.audio_rate != cfg.working_rate:
@@ -625,7 +642,9 @@ class Receiver:
                 audio, audio_filt = DD.dist_fft_filter(
                     audio, jnp.asarray(self.H_audio), cfg.fm_hop,
                     state.audio_filt, shard_axis)
-        if not sharded:
+        if self.deemph_folded:
+            deemph_last = state.deemph      # folded into H_audio above
+        elif not sharded:
             audio, deemph_last = B.ema_apply(audio, self.deemph_alpha,
                                              state.deemph)
         else:
