@@ -83,6 +83,10 @@ def _build_rx_parser(sub):
     p.add_argument("--runner", default="loop", choices=["loop", "scan"],
                    help="block driver: python loop (streaming-shaped) or one "
                         "lax.scan dispatch over the whole capture (fastest)")
+    p.add_argument("--chunk-blocks", type=int,
+                   help="with --runner scan: dispatch in chunks of this many "
+                        "blocks (bounds device memory for long captures; "
+                        "bit-exact)")
     p.add_argument("--log-meta", help="write per-block metadata as JSON lines "
                                       "(the reference's periodic freq/pilot "
                                       "log, radio.cpp:1811-1823)")
@@ -231,11 +235,14 @@ def cmd_rx(args) -> int:
                 res = run_streaming(rx, iq, controls, init_state=init_state,
                                     on_audio=sink.write,
                                     collect_taps=want_taps)
+        elif args.runner == "scan":
+            res = run_offline_scanned(rx, iq, controls,
+                                      collect_taps=want_taps,
+                                      init_state=init_state,
+                                      chunk_blocks=args.chunk_blocks)
         else:
-            runner = (run_offline_scanned if args.runner == "scan"
-                      else run_offline)
-            res = runner(rx, iq, controls, collect_taps=want_taps,
-                         init_state=init_state)
+            res = run_offline(rx, iq, controls, collect_taps=want_taps,
+                              init_state=init_state)
     dt = time.time() - t0
     if args.profile:
         print(f"wrote profiler trace to {args.profile}", file=sys.stderr)

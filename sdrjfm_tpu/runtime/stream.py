@@ -78,14 +78,48 @@ def run_offline_scanned(rx: Receiver, iq: np.ndarray,
                         controls: Optional[Controls] = None,
                         drop_blocks: int = 0,
                         collect_taps: bool = False,
-                        init_state=None) -> StreamResult:
+                        init_state=None,
+                        chunk_blocks: Optional[int] = None) -> StreamResult:
     """`run_offline_scan` with the stacked Output unpacked to a StreamResult.
 
-    Same result contract as `run_offline`, but the whole capture is ONE
-    dispatched program (lax.scan over blocks) — the throughput path for long
+    Same result contract as `run_offline`, but the capture runs as scan
+    dispatches (lax.scan over blocks) — the throughput path for long
     captures, where the per-block dispatch latency of the Python loop
     dominates (~25 us/block over the axon tunnel, ROADMAP.md).
+
+    chunk_blocks: if set, dispatch the scan in chunks of this many blocks,
+    threading the carry state between chunks — bounds device memory to
+    chunk_blocks of input+output for arbitrarily long captures, bit-exactly
+    (the scan body is the same program; only the leading axis is split).
     """
+    if chunk_blocks is not None:
+        T = rx.cfg.block_in
+        total = (len(iq) // T) * T
+        state = init_state
+        parts = []
+        for lo in range(0, total, chunk_blocks * T):
+            hi = min(lo + chunk_blocks * T, total)
+            part = run_offline_scanned(rx, iq[lo:hi], controls,
+                                       collect_taps=collect_taps,
+                                       init_state=state)
+            state = part.final_state
+            parts.append(part)
+        first = parts[0]
+        res = StreamResult(
+            audio=np.concatenate([p.audio for p in parts], axis=0),
+            meta=[m for p in parts for m in p.meta],
+            final_state=state)
+        if first.rds_bits is not None:
+            res.rds_bits = np.concatenate([p.rds_bits for p in parts])
+            res.rds_iq = np.concatenate([p.rds_iq for p in parts])
+        if first.taps:
+            res.taps = {k: np.concatenate([p.taps[k] for p in parts])
+                        for k in first.taps}
+        if drop_blocks:
+            nb_a = len(res.audio) // max(len(res.meta), 1)
+            res.audio = res.audio[drop_blocks * nb_a:]
+            res.meta = res.meta[drop_blocks:]
+        return res
     state, outs = run_offline_scan(rx, iq, controls, init_state=init_state)
     nblocks = outs.audio.shape[0]
     audio = np.asarray(outs.audio)[drop_blocks:].reshape(-1, 2)

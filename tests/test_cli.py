@@ -302,3 +302,25 @@ def test_checkpoint_survives_iq_format_switch(tmp_path):
                  "--iq-format", "i16", "--save-state", st]) == 0
     assert main(["rx", "--iq", iq, "--audio", a, "--block-fm", "32768",
                  "--iq-format", "c64", "--load-state", st]) == 0
+
+
+def test_chunked_scan_runner_bit_exact():
+    """Chunked scan dispatches (bounded HBM) == one whole-capture dispatch."""
+    from sdrjfm_tpu import constants as C
+    from sdrjfm_tpu.io import synth
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.stream import run_offline_scanned
+
+    n = 6 * 32768
+    t = np.arange(n) / C.FM_RATE
+    mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 700 * t),
+                          0.5 * np.sin(2 * np.pi * 300 * t),
+                          synth.MPXParams())
+    iq = synth.iq_to_i16(synth.fm_modulate(mpx, C.FM_RATE))
+    rx = Receiver(ReceiverConfig(block_fm=32768, rds="block",
+                                 iq_format="i16"))
+    r1 = run_offline_scanned(rx, iq)
+    r2 = run_offline_scanned(rx, iq, chunk_blocks=2)
+    np.testing.assert_array_equal(r1.audio, r2.audio)
+    np.testing.assert_array_equal(r1.rds_bits, r2.rds_bits)
+    assert r1.meta == r2.meta
