@@ -361,7 +361,6 @@ def cmd_scan(args) -> int:
     from .io.wavio import read_iq_wav
     from .models.receiver import Receiver, ReceiverConfig
     from .models.tuner import RadioController
-    from .runtime.stream import run_offline
     from .rds.blocksync import BlockSynchronizer, Group
     from .rds.groups import GroupDecoder
 
@@ -374,23 +373,22 @@ def cmd_scan(args) -> int:
         return 1
     found = rc.scan(iq[:T], grid_hz=args.grid, threshold_db=args.threshold)
     print(f"scan: {len(found)} hit(s) at offsets {found}", file=sys.stderr)
-    results = []
-    for off in found:
-        entry = {"offset_hz": off}
-        if args.identify:
-            n = min(len(iq), int(args.seconds * C.INPUT_RATE))
-            rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="block",
-                                         audio_filter_hz=15000))
-            from .models.receiver import default_controls
-            controls = default_controls()._replace(
-                lo_freq_hz=jnp.asarray(off, jnp.int32))
-            res = run_offline(rx, iq[:n], controls)
-            entry["pilot_locked"] = bool(res.meta[-1]["pilot_locked"])
-            if res.rds_bits is not None:
+    results = [{"offset_hz": off} for off in found]
+    if args.identify and found:
+        # ALL hits demodulate in one vmapped dispatch (models/multistation —
+        # the reference identifies serially, one retune at a time)
+        from .models.multistation import demodulate_stations
+        n = min(len(iq), int(args.seconds * C.INPUT_RATE))
+        rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="block",
+                                     audio_filter_hz=15000))
+        per_station = demodulate_stations(rx, iq[:n], found)
+        for entry, res in zip(results, per_station):
+            entry["pilot_locked"] = bool(res["meta"]["pilot_locked"])
+            if res["rds_bits"] is not None:
                 sync = BlockSynchronizer()
                 dec = GroupDecoder()
                 grp = Group()
-                sync.push_bits(res.rds_bits, grp, on_group=dec.decode)
+                sync.push_bits(res["rds_bits"], grp, on_group=dec.decode)
                 r = dec.result
                 if sync.groups_decoded:
                     entry.update(pi_code=f"0x{r.pi_code:04X}",
@@ -398,8 +396,8 @@ def cmd_scan(args) -> int:
                                  pty=r.pty_text,
                                  groups=sync.groups_decoded,
                                  ber=sync.bit_error_rate)
-            print(f"  offset {off:+d} Hz: {entry}", file=sys.stderr)
-        results.append(entry)
+            print(f"  offset {entry['offset_hz']:+d} Hz: {entry}",
+                  file=sys.stderr)
     if args.stations:
         from .io.stations import StationList
         sl = StationList.load(args.stations)

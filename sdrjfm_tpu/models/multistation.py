@@ -1,0 +1,91 @@
+"""Multi-station receiver: demodulate N stations from ONE capture at once.
+
+The reference tunes one station at a time — retuning is an LO-offset change
+(radio.cpp:1056-1066) and the band scan identifies hits serially.  On TPU
+the natural formulation is a vmap of the flagship `Receiver.step` over a
+station axis: the wideband input block is shared (broadcast), each station
+carries its own Controls (LO offset, gains) and its own state pytree, and
+the N front ends batch into one conv/FFT program — identifying every
+station in a band costs roughly one station's wall time.
+
+No reference equivalent (its engine is strictly single-station); this is
+the block-batched design paying off.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .receiver import Controls, Receiver
+
+Array = jax.Array
+
+
+class MultiStationReceiver:
+    """vmap(Receiver.step) over a leading station axis."""
+
+    def __init__(self, rx: Receiver):
+        assert rx.cfg.rds in ("off", "block"), \
+            "scan RDS decoders are per-sample sequential; use rds='block'"
+        self.rx = rx
+        self._step = jax.jit(jax.vmap(rx.step, in_axes=(0, 0, None)))
+
+    def init_states(self, n_stations: int):
+        st = self.rx.init_state()
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_stations,) + x.shape),
+            st)
+
+    def controls_for(self, offsets_hz: Sequence[int]) -> Controls:
+        n = len(offsets_hz)
+        ones = jnp.ones((n,), jnp.float32)
+        return Controls(
+            lo_freq_hz=jnp.asarray(list(offsets_hz), jnp.int32),
+            volume=ones, left_gain=ones, right_gain=ones,
+            input_lgain=ones, input_rgain=ones,
+            squelch_level=jnp.zeros((n,), jnp.float32))
+
+    def step(self, states, controls: Controls, iq: Array):
+        """One shared input block -> per-station (states, Output) with a
+        leading station axis on every output leaf."""
+        return self._step(states, controls, iq)
+
+
+def demodulate_stations(rx: Receiver, iq: np.ndarray,
+                        offsets_hz: Sequence[int]) -> List[dict]:
+    """Offline helper: run the whole capture for every offset in one
+    vmapped block loop.  Returns per-station dicts with 'audio' [n, 2],
+    'rds_bits' (np.uint8) and 'meta' (last block's metadata).
+    """
+    msr = MultiStationReceiver(rx)
+    n = len(offsets_hz)
+    T = rx.cfg.block_in
+    nblocks = len(iq) // T
+    assert nblocks > 0
+    states = msr.init_states(n)
+    controls = msr.controls_for(offsets_hz)
+    audio, bits = [], [[] for _ in range(n)]
+    meta = None
+    for b in range(nblocks):
+        blk = jnp.asarray(iq[b * T:(b + 1) * T])
+        states, out = msr.step(states, controls, blk)
+        audio.append(np.asarray(out.audio))            # [n, Tb, 2]
+        if out.rds is not None:
+            counts = np.asarray(out.rds.count)
+            all_bits = np.asarray(out.rds.bits)
+            for s in range(n):
+                bits[s].append(all_bits[s, : int(counts[s])])
+        meta = {k: np.asarray(v) for k, v in out.meta._asdict().items()}
+    results = []
+    for s in range(n):
+        results.append({
+            "offset_hz": int(offsets_hz[s]),
+            "audio": np.concatenate([a[s] for a in audio], axis=0),
+            "rds_bits": (np.concatenate(bits[s]) if bits[s] else None),
+            "meta": {k: v[s].item() for k, v in meta.items()},
+        })
+    return results

@@ -77,3 +77,60 @@ def test_scan_tune_identify():
         sig = X[b - 3:b + 4].sum()
         snr = 10 * np.log10(sig / max(X[8:].sum() - sig, 1e-30))
         assert snr > 25.0, (st, snr)
+
+
+def test_batched_multistation_matches_serial():
+    """One vmapped dispatch demodulating BOTH stations == per-station runs."""
+    from sdrjfm_tpu.models.multistation import demodulate_stations
+
+    iq = make_capture(seconds=3.0)
+    rx = Receiver(ReceiverConfig(block_fm=32768, rds="block",
+                                 audio_filter_hz=15000))
+    offsets = [st["offset"] for st in STATIONS]
+    batched = demodulate_stations(rx, iq, offsets)
+
+    for res, st in zip(batched, STATIONS):
+        # serial single-station run of the same capture at the same offset
+        controls = default_controls()._replace(
+            lo_freq_hz=jnp.asarray(st["offset"], jnp.int32))
+        serial = run_offline(rx, iq, controls)
+        np.testing.assert_allclose(res["audio"], serial.audio, atol=2e-5)
+        assert res["meta"]["pilot_locked"]
+        # identical decoded RDS identity
+        for bits_src, tag in ((res["rds_bits"], "batched"),
+                              (serial.rds_bits, "serial")):
+            sync = BlockSynchronizer()
+            dec = GroupDecoder()
+            grp = Group()
+            sync.push_bits(bits_src, grp, on_group=dec.decode)
+            assert dec.result.pi_code == st["pi"], (tag, st)
+            assert dec.result.station_label.strip() == st["name"], (tag, st)
+
+
+def test_scan_cli_batched_identify(tmp_path):
+    """CLI scan --identify (one vmapped dispatch for all hits) finds and
+    names both stations."""
+    import json
+    from sdrjfm_tpu.app import main
+    from sdrjfm_tpu.io.wavio import write_iq_wav
+
+    iq = make_capture(seconds=3.0)
+    cap = str(tmp_path / "band.wav")
+    write_iq_wav(cap, iq, C.INPUT_RATE, float32=False)
+    stations = str(tmp_path / "stations.json")
+    import io
+    import contextlib
+    import sys as _sys
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["scan", "--iq", cap, "--identify",
+                   "--stations", stations, "--block-fm", "32768"])
+    assert rc == 0
+    hits = json.loads(buf.getvalue())["hits"]
+    by_pi = {h.get("pi_code"): h for h in hits if "pi_code" in h}
+    assert "0x1111" in by_pi and "0x2222" in by_pi
+    assert by_pi["0x1111"]["station"] == "STATION1"
+    assert by_pi["0x2222"]["station"] == "STATION2"
+    sl = json.load(open(stations))
+    names = {e["name"] for e in sl["stations"]}
+    assert {"STATION1", "STATION2"} <= names
