@@ -68,7 +68,7 @@ def main():
 
     st, outs = run(state, controls, blocks)
     jax.block_until_ready(outs.audio)
-    # best of 10 after 2 extra warmups: the remote-tunnel scheduler adds
+    # best of 20 after 2 extra warmups: the remote-tunnel scheduler adds
     # multi-ms hiccups that dwarf the sub-ms compute (observed 2-3x run-to-
     # run spread with best-of-3); the minimum is the honest compute+dispatch
     # time, every excess is queueing noise
@@ -76,7 +76,7 @@ def main():
         st2, outs = run(st, controls, blocks)
         jax.block_until_ready(outs.audio)
     dt = float("inf")
-    for _ in range(10):
+    for _ in range(20):
         t0 = time.time()
         st, outs = run(st, controls, blocks)
         jax.block_until_ready(outs.audio)
