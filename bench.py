@@ -40,9 +40,9 @@ def main():
     controls = default_controls()
     state = rx.init_state()
 
-    # realistic input: 32 distinct blocks of synthesized stereo+RDS signal
+    # realistic input: 64 distinct blocks of synthesized stereo+RDS signal
     # (distinct data so no aliasing/hoisting can flatter the number)
-    nblocks = 32
+    nblocks = 64
     n_fm = cfg.block_fm * nblocks
     t = np.arange(n_fm) / C.FM_RATE
     left = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
