@@ -70,6 +70,10 @@ def _build_rx_parser(sub):
                    help="write float32 wav instead of PCM16")
     p.add_argument("--audio-192k", action="store_true",
                    help="output 192 kHz audio (the reference's -m flag)")
+    p.add_argument("--dump-input", help="dump the 2.304 MS/s input IQ after "
+                                        "DC removal (complex wav — the "
+                                        "reference's raw dump for offline "
+                                        "A/B, fm-processor.cpp:448-455)")
     p.add_argument("--dump-if", help="dump the 192 kHz IF (complex wav)")
     p.add_argument("--dump-mpx", help="dump the demodulated MPX (192 kHz wav)")
     p.add_argument("--spectra", help="write hf/lf spectra + waterfall + RDS "
@@ -96,6 +100,19 @@ def _build_rx_parser(sub):
                                      "the streaming runner.")
     p.add_argument("--pcm-pace", action="store_true",
                    help="throttle --pcm-out to real time")
+    p.add_argument("--follow", action="store_true",
+                   help="live streaming mode: pull blocks from the native "
+                        "C++ paced ring (real-time emission, overrun drops "
+                        "accounted) instead of loading the capture into "
+                        "memory — the reference's device-thread -> ring -> "
+                        "engine path (filehulp.cpp:159-202, "
+                        "fm-processor.cpp:387-417)")
+    p.add_argument("--no-pace", action="store_true",
+                   help="with --follow: stream at full speed instead of "
+                        "real time")
+    p.add_argument("--loop-seconds", type=float,
+                   help="with --follow: loop the capture and process this "
+                        "many seconds of signal (default: stop at EOF)")
     p.add_argument("--profile", help="capture a jax profiler trace of the "
                                      "run into this directory (TensorBoard/"
                                      "xprof format; the reference had only "
@@ -141,18 +158,34 @@ def cmd_rx(args) -> int:
     from .io.wavio import read_iq_wav, write_wav
     from .models.receiver import Controls, Receiver, ReceiverConfig
     from .runtime.stream import run_offline, run_offline_scanned
-    from .rds.blocksync import BlockSynchronizer, Group
-    from .rds.groups import GroupDecoder
 
-    from .io.wavio import is_riff, read_iq_raw, read_iq_wav_raw
+    from .io.wavio import is_riff, probe_wav, read_iq_raw, read_iq_wav_raw
     iq_fmt = args.iq_format
-    if not is_riff(args.iq):
+    iq = None
+    is_wav = is_riff(args.iq)
+    if not is_wav:
         # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
         if iq_fmt not in ("u8", "i16"):
             print("raw (non-wav) capture: pass --iq-format u8 or i16",
                   file=sys.stderr)
             return 2
-        iq, rate = read_iq_raw(args.iq, iq_fmt), C.INPUT_RATE
+        rate = C.INPUT_RATE
+        if not args.follow:
+            iq = read_iq_raw(args.iq, iq_fmt)
+    elif iq_fmt == "u8":
+        print("--iq-format u8 applies to raw captures; wav inputs use "
+              "auto/c64/i16", file=sys.stderr)
+        return 2
+    elif args.follow:
+        # streaming: header-only probe, the native ring does the reading
+        info = probe_wav(args.iq)
+        rate = info.rate
+        pcm16 = info.fmt == 1 and info.sampwidth == 2 and info.channels == 2
+        if iq_fmt == "i16" and not pcm16:
+            print("--iq-format i16 needs a 16-bit PCM stereo wav",
+                  file=sys.stderr)
+            return 2
+        iq_fmt = "i16" if (pcm16 and iq_fmt in ("auto", "i16")) else "c64"
     elif iq_fmt in ("auto", "i16"):
         try:
             iq, rate = read_iq_wav_raw(args.iq)
@@ -162,10 +195,6 @@ def cmd_rx(args) -> int:
                 raise
             iq, rate = read_iq_wav(args.iq)
             iq_fmt = "c64"
-    elif iq_fmt == "u8":
-        print("--iq-format u8 applies to raw captures; wav inputs use "
-              "auto/c64/i16", file=sys.stderr)
-        return 2
     else:
         iq, rate = read_iq_wav(args.iq)
     if rate != C.INPUT_RATE:
@@ -175,7 +204,12 @@ def cmd_rx(args) -> int:
         str(args.deemphasis).lower(), None)
     if deemph_us is None:
         deemph_us = float(args.deemphasis)
-    want_taps = bool(args.dump_if or args.dump_mpx or args.spectra)
+    want_taps = bool(args.dump_if or args.dump_mpx or args.spectra
+                     or args.dump_input)
+    if args.follow and want_taps:
+        print("--follow streams block-by-block; dumps/spectra need the "
+              "offline runners", file=sys.stderr)
+        return 2
     cfg = ReceiverConfig(
         block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
         sound=args.sound, pss_active=not args.no_pss,
@@ -183,7 +217,8 @@ def cmd_rx(args) -> int:
         input_filter=args.input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
-        frontend=args.frontend, emit_taps=want_taps, iq_format=iq_fmt)
+        frontend=args.frontend, emit_taps=want_taps,
+        emit_input_tap=bool(args.dump_input), iq_format=iq_fmt)
     rx = Receiver(cfg)
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0
@@ -199,6 +234,10 @@ def cmd_rx(args) -> int:
         input_rgain=jnp.asarray(1.0, jnp.float32),
         squelch_level=jnp.asarray(sq_level, jnp.float32))
     if sq_auto:
+        if args.follow:
+            print("--squelch-level auto needs the in-memory capture; "
+                  "pass an explicit level with --follow", file=sys.stderr)
+            return 2
         if args.squelch != "nsq":
             print("--squelch-level auto requires --squelch nsq (the profile "
                   "measures the noise-squelch band ratio)", file=sys.stderr)
@@ -226,30 +265,71 @@ def cmd_rx(args) -> int:
     if args.profile:
         import jax
         profile_cm = jax.profiler.trace(args.profile)
-    with profile_cm:
-        if args.pcm_out:
-            from .io.pcmout import PCMSink
-            from .runtime.stream import run_streaming
-            with PCMSink(args.pcm_out, cfg.audio_rate,
-                         pace=args.pcm_pace) as sink:
+    from .rds.live import LiveRDSDecoder
+    live_rds = LiveRDSDecoder(pty_locale=args.pty_locale) if args.rds else None
+    sink = None
+    if args.pcm_out:
+        from .io.pcmout import PCMSink
+        sink = PCMSink(args.pcm_out, cfg.audio_rate, pace=args.pcm_pace)
+    try:
+        with profile_cm:
+            if args.follow:
+                from .runtime.native_source import (NativeRawSource,
+                                                    NativeWavSource)
+                from .runtime.stream import run_live
+                pace = not args.no_pace
+                loop = args.loop_seconds is not None
+                if iq_fmt == "c64":
+                    src = NativeWavSource(args.iq, pace=pace, loop=loop)
+                elif is_wav:
+                    src = NativeRawSource(args.iq, pace=pace, loop=loop)
+                else:
+                    src = NativeRawSource(args.iq, fmt=iq_fmt,
+                                          rate=C.INPUT_RATE, pace=pace,
+                                          loop=loop)
+                max_blocks = None
+                if args.loop_seconds:
+                    max_blocks = max(1, int(args.loop_seconds * C.INPUT_RATE)
+                                     // cfg.block_in)
+                src.start()
+                try:
+                    res = run_live(
+                        rx, src, controls, init_state=init_state,
+                        max_blocks=max_blocks,
+                        on_audio=sink.write if sink else None,
+                        rds_feedback=live_rds.feed if live_rds else None)
+                finally:
+                    src.close()
+            elif args.pcm_out:
+                from .runtime.stream import run_streaming
                 res = run_streaming(rx, iq, controls, init_state=init_state,
                                     on_audio=sink.write,
+                                    on_rds_bits=(live_rds.feed if live_rds
+                                                 else None),
                                     collect_taps=want_taps)
-        elif args.runner == "scan":
-            res = run_offline_scanned(rx, iq, controls,
-                                      collect_taps=want_taps,
-                                      init_state=init_state,
-                                      chunk_blocks=args.chunk_blocks)
-        else:
-            res = run_offline(rx, iq, controls, collect_taps=want_taps,
-                              init_state=init_state)
+            elif args.runner == "scan":
+                res = run_offline_scanned(rx, iq, controls,
+                                          collect_taps=want_taps,
+                                          init_state=init_state,
+                                          chunk_blocks=args.chunk_blocks)
+            else:
+                res = run_offline(rx, iq, controls, collect_taps=want_taps,
+                                  init_state=init_state,
+                                  rds_feedback=(live_rds.feed if live_rds
+                                                else None))
+    finally:
+        if sink is not None:
+            sink.close()
     dt = time.time() - t0
     if args.profile:
         print(f"wrote profiler trace to {args.profile}", file=sys.stderr)
-    n_in = (len(iq) // cfg.block_in) * cfg.block_in
+    n_in = (len(res.meta) if args.follow
+            else len(iq) // cfg.block_in) * cfg.block_in
     rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")
     print(f"processed {n_in} IQ samples in {dt:.2f}s ({rt:.1f}x real-time)",
           file=sys.stderr)
+    if args.follow:
+        print(f"ingest overrun drops: {res.dropped_total}", file=sys.stderr)
 
     if args.audio:
         write_wav(args.audio, res.audio, cfg.audio_rate,
@@ -262,41 +342,24 @@ def cmd_rx(args) -> int:
         "throughput_x_realtime": rt,
         "meta_last": res.meta[-1] if res.meta else {},
     }
-    if args.rds and res.rds_bits is not None:
-        sync = BlockSynchronizer()
-        dec = GroupDecoder(pty_locale=args.pty_locale)
-        grp = Group()
-        sync.push_bits(res.rds_bits, grp, on_group=dec.decode)
-        r = dec.result
-        report["rds"] = {
-            "groups_decoded": sync.groups_decoded,
-            "sync_errors": sync.num_sync_errors,
-            "crc_errors": sync.num_crc_errors,
-            "bit_error_rate": sync.bit_error_rate,
-            "pi_code": f"0x{r.pi_code:04X}",
-            "pty": r.pty_text,
-            "station_label": r.station_label,
-            "radio_text": r.radio_text,
-            "af_frequencies_khz": [f / 1000.0 for f in r.af_frequencies],
-            "music_speech": ({0: "speech", 1: "music"}.get(r.music_speech)
-                            if r.music_speech is not None else None),
-            "di_code": r.di_code,
-            "clock_time": r.clock_time,
-            "group_counts": {str(k): v for k, v in r.group_counts.items()},
-        }
-        if r.station_label_voted.strip() and \
-                r.station_label_voted != r.station_label:
-            report["rds"]["station_label_voted"] = r.station_label_voted
-        if r.ptyn.strip():
-            report["rds"]["ptyn"] = r.ptyn
-        if r.eon:
-            report["rds"]["eon"] = dec.eon_summary()
-        if r.tmc_messages:
-            report["rds"]["tmc_messages"] = r.tmc_messages
+    if args.follow:
+        report["ingest_dropped"] = res.dropped_total
+    if args.rds and live_rds is not None:
+        fed_incrementally = (args.follow or args.pcm_out
+                             or args.runner != "scan")
+        if not fed_incrementally and res.rds_bits is not None:
+            live_rds.feed(res.rds_bits)
+        r = live_rds.result
+        report["rds"] = live_rds.report()
         print(f"RDS: PI={report['rds']['pi_code']} "
               f"station={r.station_label!r} text={r.radio_text!r} "
-              f"groups={sync.groups_decoded} BER={sync.bit_error_rate:.4f}",
+              f"groups={live_rds.sync.groups_decoded} "
+              f"BER={live_rds.sync.bit_error_rate:.4f}",
               file=sys.stderr)
+    if args.dump_input and "input_dc" in res.taps:
+        from .io.wavio import write_iq_wav
+        write_iq_wav(args.dump_input, res.taps["input_dc"], cfg.input_rate)
+        print(f"wrote {args.dump_input}", file=sys.stderr)
     if args.dump_if and "if_filtered" in res.taps:
         from .io.wavio import write_iq_wav
         write_iq_wav(args.dump_if, res.taps["if_filtered"], cfg.fm_rate)

@@ -133,6 +133,28 @@ def is_riff(path: str) -> bool:
         return f.read(4) == b"RIFF"
 
 
+def probe_wav(path: str) -> WavInfo:
+    """Header-only format probe (no data load — for streaming sources that
+    must not pull the whole capture into memory)."""
+    with open(path, "rb") as f:
+        buf = f.read(4096)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            off = pos + 8
+            a_fmt, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", buf[off : off + 16])
+            if a_fmt == 0xFFFE and size >= 40:
+                a_fmt = struct.unpack("<H", buf[off + 24 : off + 26])[0]
+            return WavInfo(rate=rate, channels=ch, sampwidth=bits // 8,
+                           fmt=a_fmt)
+        pos += 8 + size + (size & 1)
+    raise ValueError("missing fmt chunk")
+
+
 def read_iq_raw(path: str, fmt: str):
     """Read a headerless interleaved-IQ capture (the rtl_sdr/hackrf_transfer
     file convention — raw u8 or i16 pairs, no container).

@@ -99,6 +99,10 @@ class ReceiverConfig:
     test_tone: bool = False
     # debug taps in the output (costs bandwidth; for tests/scopes)
     emit_taps: bool = False
+    # also tap the 2.304 MS/s input after DC removal (the reference's raw
+    # IQ dump for offline A/B, fm-processor.cpp:448-455 — dumped after the
+    # DC servo pass, before the LO mix).  Expensive: block_in complex64.
+    emit_input_tap: bool = False
 
     @property
     def block_in(self) -> int:
@@ -413,6 +417,7 @@ class Receiver:
         g_blk = float((1.0 - C.RF_DC_ALPHA) ** cfg.block_in)
         dc_last = g_blk * state.rf_dc + (1.0 - g_blk) * jnp.mean(sub)
         x = x - corr
+        input_tap = x if (cfg.emit_taps and cfg.emit_input_tap) else None
 
         # --- LO mix (tuning + AFC, radio.cpp:1056-1066) ---------------------
         if shard_axis is None:
@@ -450,7 +455,7 @@ class Receiver:
                   else left_halo(x, state.band1, shard_axis))
             v, tail1 = B.fir_decimate(x, jnp.asarray(self.k_decim12), 12, c1)
             tail2 = state.band2
-        return v, (dc_last, input_tail, tail1, tail2)
+        return v, (dc_last, input_tail, tail1, tail2, input_tap)
 
     # ------------------------------------------------------------------
     def step(self, state: ReceiverState, controls: Controls,
@@ -460,13 +465,13 @@ class Receiver:
         want = (T_in,) if cfg.iq_format == "c64" else (T_in, 2)
         assert iq.shape == want, (iq.shape, want)
 
-        v, (dc_last, input_tail, tail1, tail2) = self.front_end(
+        v, (dc_last, input_tail, tail1, tail2, input_tap) = self.front_end(
             state, controls, iq)
         n0_mod = (state.n0_mod + T_in) % cfg.input_rate
         fe_updates = dict(
             n0_mod=n0_mod, rf_dc=dc_last,
             input_filt=input_tail if cfg.input_filter else None,
-            band1=tail1, band2=tail2)
+            band1=tail1, band2=tail2, input_tap=input_tap)
         return self.fm_chain(state, controls, v, fe_updates)
 
     # ------------------------------------------------------------------
@@ -496,6 +501,8 @@ class Receiver:
                 return jax.lax.all_gather(t, shard_axis)[-1]
         taps = {} if cfg.emit_taps else None
         if taps is not None:
+            if fe_updates.get("input_tap") is not None:
+                taps["input_dc"] = fe_updates["input_tap"]
             taps["if_filtered"] = v
 
         # --- discriminator ---------------------------------------------------
@@ -771,6 +778,25 @@ class Receiver:
             audio=jnp.stack([jnp.real(pcm), jnp.imag(pcm)], axis=-1),
             meta=meta, rds=rds_out, taps=taps)
         return new_state, out
+
+    # ------------------------------------------------------------------
+    def request_rds_resync(self, state: ReceiverState) -> ReceiverState:
+        """Ask the bit decoder to re-acquire its clock at the next block.
+
+        The reference's decoder-3 re-synchronizes whenever the block
+        synchronizer has accumulated >3 sync errors (rds-decoder-3.cpp:94-99:
+        `Resync || getNumSyncErrors() > 3` -> synchronizeOnBitClk + blocksync
+        resync).  The block synchronizer runs on the host here, so the
+        feedback arrives between blocks: the driver (runtime/stream.run_live
+        or run_offline's rds_feedback hook) calls this to set the decoder's
+        resync flag in the carry state.  Only decoder-3 has an explicit
+        re-acquisition input; for the other decoders this is a no-op (their
+        timing loops are continuously adaptive).
+        """
+        if self.cfg.rds != "scan3" or state.bitrec is None:
+            return state
+        return state._replace(
+            bitrec=state.bitrec._replace(need_resync=jnp.asarray(True)))
 
     # ------------------------------------------------------------------
     def jit_step(self):

@@ -111,17 +111,21 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
         u = jnp.clip(u, 0.0, 1.0)
         res = jnp.arcsin(2.0 * u - 1.0) / 2.0
     elif decoder == "difference":
-        if shard_axis is not None:
-            raise NotImplementedError("difference decoder not sharded yet")
-        p2 = jnp.concatenate([state.prev2[None], state.prev1[None], zn[:-2]])
+        if shard_axis is None:
+            p2 = jnp.concatenate([state.prev2[None], state.prev1[None],
+                                  zn[:-2]])
+        else:
+            from ..parallel.distributed import left_halo
+            halo2 = left_halo(zn, 2, jnp.stack([state.prev2, state.prev1]),
+                              shard_axis)
+            p2 = jnp.concatenate([halo2, zn[:-2]])
         num = (jnp.real(p1) * (jnp.imag(zn) - jnp.imag(p2))
                - jnp.imag(p1) * (jnp.real(zn) - jnp.real(p2)))
         den = (jnp.real(p1) ** 2 + jnp.imag(p1) ** 2) * jnp.sqrt(2.0)
         res = num / den
     elif decoder == "pll":
-        if shard_axis is not None:
-            raise NotImplementedError("pll decoder not sharded yet")
-        res, pll_incr_last = _decode_pll_block(zn, state, rate)
+        res, pll_incr_last = _decode_pll_block(zn, p1, state, rate,
+                                               shard_axis)
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
@@ -151,7 +155,8 @@ def _decode_am(mag: Array, carr: Array) -> Array:
     return jnp.clip(res, -1.0, 1.0)
 
 
-def _decode_pll_block(zn: Array, state: DemodState, rate: int) -> Array:
+def _decode_pll_block(zn: Array, p1: Array, state: DemodState, rate: int,
+                      shard_axis=None) -> Array:
     """Batched equivalent of the PLL discriminator (pllC.cpp:67-90).
 
     The reference PLL's phase-increment output is, in steady state, the
@@ -162,11 +167,19 @@ def _decode_pll_block(zn: Array, state: DemodState, rate: int) -> Array:
     carried phaseIncr as initial state.  This replaces the nonlinear
     feedback loop by its linearised steady-state equivalent (valid when the
     loop is in lock, which for a wideband 0.85*rate loop is immediate).
+
+    p1 is the 1-sample-lookback stream (already halo-exchanged when
+    sharded); with `shard_axis` the one-pole runs through the distributed
+    prefix decomposition.
     """
     beta = jnp.exp(-2.0 * jnp.pi * (0.85 * rate) / 2.0 / rate)
-    p1 = jnp.concatenate([state.prev1[None], zn[:-1]])
     d = zn * jnp.conj(p1)
     inst = jnp.arctan2(jnp.imag(d), jnp.real(d))
-    from .blockops import linrec_apply
-    y, y_last = linrec_apply((1.0 - beta) * inst, beta, state.pll_incr)
+    if shard_axis is None:
+        from .blockops import linrec_apply
+        y, y_last = linrec_apply((1.0 - beta) * inst, beta, state.pll_incr)
+    else:
+        from ..parallel.distributed import dist_linrec
+        y, y_last = dist_linrec((1.0 - beta) * inst, beta, state.pll_incr,
+                                shard_axis)
     return y, y_last

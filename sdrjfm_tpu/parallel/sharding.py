@@ -89,7 +89,7 @@ class FullyShardedReceiver:
                   else {"check_rep": False})
 
         def body(state, controls, iq_local):
-            v_local, (dc, in_tail, t1, t2) = rx.front_end(
+            v_local, (dc, in_tail, t1, t2, _) = rx.front_end(
                 state, controls, iq_local, shard_axis=axis)
             tails = tuple(t[None] if t is not None else None
                           for t in (in_tail, t1, t2))
@@ -154,7 +154,7 @@ class ShardedReceiver:
                   else {"check_rep": False})
 
         def front(state, controls, iq_local):
-            v_local, (dc, in_tail, t1, t2) = rx.front_end(
+            v_local, (dc, in_tail, t1, t2, _) = rx.front_end(
                 state, controls, iq_local, shard_axis=axis)
             tails = tuple(t[None] if t is not None else None
                           for t in (in_tail, t1, t2))

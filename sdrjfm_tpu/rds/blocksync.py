@@ -79,11 +79,17 @@ class BlockSynchronizer:
         self.num_crc_errors = 0
         self.bit_error_rate = 0.0
         self.groups_decoded = 0
+        self.resync_error_counter = 0   # rdsNumofSyncErrors: sync errors
+        # since the last reset_resync_error_counter (the decoder-3 feedback
+        # counter, rds-blocksynchronizer.cpp:87-104)
 
     def resync(self):
         self.current_block = "A"
         self.synchronized = False
         self.bits_in_block = 0
+
+    def reset_resync_error_counter(self):
+        self.resync_error_counter = 0
 
     def _offset_name(self, block: str, is_type_b: bool) -> str:
         if block == "C":
@@ -170,6 +176,7 @@ class BlockSynchronizer:
                                                     group.is_type_b)]
         if crc.syndrome(self.bitstream, offset) != 0:
             self.num_sync_errors += 1
+            self.resync_error_counter += 1
             return "NO_SYNC"
         group.set_block(self.current_block,
                         (self.bitstream >> crc.NUM_BITS_CRC) & 0xFFFF)

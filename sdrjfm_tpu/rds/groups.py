@@ -195,22 +195,31 @@ class GroupDecoder:
             self._emit_text(seg * NUM_CHARS_PER_RTXT_SEGMENT)
 
     def _emit_text(self, length: int):
-        out = []
+        """prepareText (rds-groupdecoder.cpp:298-316): walk the buffer one
+        char behind the cursor, emitting the pending char unless it starts a
+        2-char alphabet-switch sequence (0x0F 0x0F -> G0, 0x0E 0x0E -> G1,
+        0x1B 0x6E -> G2, :318-343).  Reference quirks preserved: after a
+        switch the SECOND marker char becomes the pending char (so it is
+        emitted as its table mapping) and the char after it is skipped
+        (:305-309).  One divergence: we flush the final pending char where
+        the reference's `i < length` loop silently drops it — identical for
+        full-buffer emission (the tail is 0x0D/padding, stripped anyway),
+        one extra real char on contiguous-prefix emission.
+        """
         chars = [ord(c) for c in self._text[:max(length, 1)]]
-        i = 0
-        prev = chars[0] if chars else 0x20
+        out = []
+        prev = chars[0]
         i = 1
         while i < len(chars):
             cur = chars[i]
             if _alphabet_switch(prev, cur):
                 self._alphabet = _set_alphabet(prev)
+                prev = cur        # the 2nd marker stays pending...
+                i += 2            # ...and the char after it is skipped
+            else:
+                out.append(map_ebu_to_unicode(self._alphabet, prev))
+                prev = cur
                 i += 1
-                prev = chars[i - 1] if i - 1 < len(chars) else 0x20
-                i += 1
-                continue
-            out.append(map_ebu_to_unicode(self._alphabet, prev))
-            prev = cur
-            i += 1
         out.append(map_ebu_to_unicode(self._alphabet, prev))
         text = "".join(out).strip()
         if text != self.result.radio_text:

@@ -284,21 +284,16 @@ def _sync_bit_clock(sync_buf, first, cfg: Decoder3Config):
     vals = sync_buf[jnp.mod(first + i, n)]
     corr = jnp.zeros(n, jnp.float32).at[k].add(vals)
     floor = int(np.floor(C.RDS_RATE / C.RDS_BITCLK_HZ))
-    # scan for + run then - run (the reference's two while loops)
-    def body(carry, idx):
-        i_min, stage = carry
-        c = corr[idx]
-        adv1 = (stage == 0) & (idx < floor) & (c > 0)
-        adv0_done = (stage == 0) & ~adv1
-        adv2 = (stage == 1) & (idx < floor) & (c < 0)
-        stage = jnp.where(adv0_done, 1, stage)
-        stage = jnp.where((stage == 1) & ~adv2 & (idx > i_min), 2, stage)
-        i_min = jnp.where(stage < 2, idx + 1, i_min)
-        return (i_min, stage), None
-
-    (i_min, _), _ = jax.lax.scan(body, (jnp.asarray(0, jnp.int32),
-                                        jnp.asarray(0, jnp.int32)),
-                                 jnp.arange(floor))
+    # the reference's two `while (iMin < floor && corr[iMin++] { >, < } 0)`
+    # loops (rds-decoder-3.cpp:146-148): scan past the leading positive run,
+    # then past the following negative run; `corr[iMin++]` increments even
+    # on the element that fails the test, so the final iMin is one past the
+    # first non-negative element after the negative run (clamped to floor).
+    c = corr[:floor]
+    idx = jnp.arange(floor)
+    pos1 = jnp.min(jnp.where(c <= 0, idx, floor))     # 1st non-positive
+    pos2 = jnp.min(jnp.where((c >= 0) & (idx > pos1), idx, floor))
+    i_min = jnp.where(pos1 >= floor, floor, jnp.minimum(pos2 + 1, floor))
     phase0 = jnp.mod(-omega * (i_min.astype(jnp.float32) - 1.0),
                      2.0 * jnp.pi)
     return phase0

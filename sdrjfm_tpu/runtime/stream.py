@@ -42,6 +42,7 @@ class StreamResult:
     rds_iq: Optional[np.ndarray] = None
     taps: dict = field(default_factory=dict)
     final_state: object = None
+    dropped_total: int = 0    # ingest overrun drops (live sources only)
 
 
 def run_offline_scan(rx: Receiver, iq: np.ndarray,
@@ -224,15 +225,103 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     return res
 
 
+def run_live(rx: Receiver, source,
+             controls: Optional[Controls] = None,
+             init_state=None,
+             max_blocks: Optional[int] = None,
+             on_audio=None, on_meta=None, on_rds_bits=None,
+             keep_outputs: bool = True,
+             rds_feedback=None,
+             timeout_ms: int = 30_000) -> StreamResult:
+    """Live block driver: pull paced blocks from a streaming Source's ring.
+
+    This is the reference's engine thread (fm-processor.cpp:387-417: wait for
+    Samples(), getSamples(16384), process) in block form: `source` is a
+    runtime.native_source.NativeWavSource / NativeRawSource (C++ producer
+    thread -> lock-free SPSC ring, real-time paced like the filereader's
+    10 ms emission loop, filehulp.cpp:159-202) and each iteration blocks on
+    `read_block` until one receiver block is available, then demodulates it
+    while the host pre-reads the next block from the ring (so ring drain
+    overlaps device compute).  Runs until EOF, `max_blocks`, or a read
+    timeout (a stalled producer).
+
+    Overrun accounting: a paced source drops frames when the ring fills (the
+    live-SDR failure mode); the per-block delta is surfaced as
+    meta['ingest_dropped'] and the total in StreamResult.dropped_total.
+
+    rds_feedback(bits) -> bool: called with each block's decoded RDS bits;
+    returning True requests a bit-clock re-acquisition in the next block
+    (Receiver.request_rds_resync — the decoder-3 resync contract,
+    rds-decoder-3.cpp:94-99).  The source's wire format must match
+    rx.cfg.iq_format (NativeWavSource -> 'c64', NativeRawSource -> its fmt).
+    """
+    cfg = rx.cfg
+    controls = controls or default_controls()
+    T = cfg.block_in
+    step = rx.jit_step()
+    state = init_state if init_state is not None else rx.init_state()
+    wire = _wire_dtype(cfg)
+
+    audio_acc, metas, bits_acc, biq_acc = [], [], [], []
+    dropped_last = source.dropped
+    b = 0
+    blk_np = source.read_block(T, timeout_ms)
+    while len(blk_np) == T and (max_blocks is None or b < max_blocks):
+        state, out = step(state, controls,
+                          jax.device_put(jnp.asarray(blk_np, wire)))
+        # pre-read the next block from the ring while the device computes
+        blk_np = source.read_block(T, timeout_ms)
+        frames = np.asarray(out.audio)
+        drops_total = source.dropped
+        meta = {k: np.asarray(v).item() for k, v in out.meta._asdict().items()}
+        meta["ingest_dropped"] = int(drops_total - dropped_last)
+        dropped_last = drops_total
+        blk_bits = None
+        if out.rds is not None:
+            n = int(out.rds.count)
+            blk_bits = np.asarray(out.rds.bits)[:n]
+        if on_audio is not None:
+            on_audio(frames)
+        if on_meta is not None:
+            on_meta(meta)
+        if blk_bits is not None:
+            if on_rds_bits is not None:
+                on_rds_bits(blk_bits)
+            if rds_feedback is not None and rds_feedback(blk_bits):
+                state = rx.request_rds_resync(state)
+        metas.append(meta)
+        if keep_outputs:
+            audio_acc.append(frames)
+            if blk_bits is not None:
+                bits_acc.append(blk_bits)
+                biq_acc.append(np.asarray(out.rds.iq)[:n])
+        b += 1
+
+    res = StreamResult(
+        audio=(np.concatenate(audio_acc, axis=0) if audio_acc
+               else np.zeros((0, 2), np.float32)),
+        meta=metas, final_state=state)
+    res.dropped_total = int(source.dropped)
+    if bits_acc:
+        res.rds_bits = np.concatenate(bits_acc)
+        res.rds_iq = np.concatenate(biq_acc)
+    return res
+
+
 def run_offline(rx: Receiver, iq: np.ndarray,
                 controls: Optional[Controls] = None,
                 drop_blocks: int = 0,
                 collect_taps: bool = False,
-                init_state=None) -> StreamResult:
+                init_state=None,
+                rds_feedback=None) -> StreamResult:
     """Process a full IQ array through the receiver, block by block.
 
     drop_blocks: number of leading blocks to exclude from the result (filter
     warm-up), while still advancing state through them.
+    rds_feedback(bits) -> bool: per-block host feedback from the block
+    synchronizer into the bit decoder (rds.live.LiveRDSDecoder.feed); True
+    requests a bit-clock re-acquisition before the next block
+    (Receiver.request_rds_resync, the decoder-3 contract).
     """
     cfg = rx.cfg
     controls = controls or default_controls()
@@ -248,6 +337,10 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     for b in range(nblocks):
         blk = jnp.asarray(iq[b * T : (b + 1) * T], wire)
         state, out = step(state, controls, blk)
+        if out.rds is not None and rds_feedback is not None:
+            n = int(out.rds.count)
+            if rds_feedback(np.asarray(out.rds.bits)[:n]):
+                state = rx.request_rds_resync(state)
         if b < drop_blocks:
             continue
         audio.append(np.asarray(out.audio))

@@ -55,6 +55,77 @@ def test_scan_decoder_recovers_groups(baseband24k, which):
     assert res.station_label == "SCANDEC "
 
 
+def test_decoder3_resync_feedback_recovers_clock():
+    """rds-decoder-3.cpp:94-99: when the block synchronizer accumulates >3
+    sync errors the decoder must re-acquire its bit clock.  Inject a
+    quarter-bit clock-phase jump mid-stream (cut 5 of ~20.2 samples/bit, so
+    the integrate-and-dump windows straddle the biphase symbol transitions;
+    a half-bit jump is transparent — the inverted bits cancel in the
+    differential decode); without the feedback the decoder never recovers;
+    with it (LiveRDSDecoder.feed -> need_resync) group decoding resumes."""
+    from sdrjfm_tpu.rds.live import LiveRDSDecoder
+
+    data_bits = encode.make_bitstream(pi=0x3C3C, station="RESYNC  ",
+                                      repeats=16)
+    syms = encode.differential_encode(data_bits)
+    n = int(20.0 * C.RDS_RATE)
+    bb = rds_baseband(syms, n, C.RDS_RATE).astype(np.complex64)
+    cut = n // 4
+    z = np.concatenate([bb[:cut], bb[cut + 5:]])  # ~quarter-bit phase jump
+    nblk = 16
+    z = z[: (len(z) // nblk) * nblk]
+    blocks = z.reshape(nblk, -1)
+
+    cfg = SD.make_decoder3_config()
+
+    def run(with_feedback):
+        st = SD.decoder3_zero_state(cfg)
+        live = LiveRDSDecoder()
+        groups_per_block = []
+        for b in range(nblk):
+            bits, mask, st = SD.decoder3_block(jnp.asarray(blocks[b]),
+                                               cfg, st)
+            got = np.asarray(bits)[np.asarray(mask)]
+            before = live.sync.groups_decoded
+            resync = live.feed(got)
+            if with_feedback and resync:
+                st = st._replace(need_resync=jnp.asarray(True))
+            groups_per_block.append(live.sync.groups_decoded - before)
+        return live, groups_per_block
+
+    live_fb, per_fb = run(True)
+    live_no, per_no = run(False)
+    # both decode cleanly before the jump (blocks 0-3)
+    assert sum(per_fb[:4]) > 40 and sum(per_no[:4]) > 40
+    # without feedback the clock stays lost after the jump (the stray group
+    # is a chance 4-block syndrome alignment in the garbage bits)
+    assert sum(per_no[6:]) <= 2, per_no
+    # with feedback: sync errors accumulate (~1.5/block of garbage — the
+    # sliding block-A search is uncounted), the >3 threshold fires, and a
+    # re-acquisition attempt succeeds (each attempt has ~50% polarity odds,
+    # like the reference's; it retries until groups flow again)
+    assert sum(per_fb[8:]) > 80, per_fb
+    assert live_fb.resyncs_requested >= 1
+    assert live_fb.result.pi_code == 0x3C3C
+
+
+def test_request_rds_resync_flag():
+    """Receiver.request_rds_resync arms decoder-3's need_resync and is a
+    no-op for the continuously-adaptive decoders."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+
+    rx3 = Receiver(ReceiverConfig(block_fm=32768, rds="scan3"))
+    st = rx3.init_state()
+    st = st._replace(bitrec=st.bitrec._replace(
+        need_resync=jnp.asarray(False)))
+    st2 = rx3.request_rds_resync(st)
+    assert bool(st2.bitrec.need_resync)
+
+    rxb = Receiver(ReceiverConfig(block_fm=32768, rds="block"))
+    stb = rxb.init_state()
+    assert rxb.request_rds_resync(stb) is stb
+
+
 def test_receiver_with_scan_decoder_mode():
     """Full chain with rds='scan2' (reference M&M algorithm) decodes groups."""
     from sdrjfm_tpu.io import synth

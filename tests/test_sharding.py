@@ -161,6 +161,35 @@ def test_fully_sharded_level_squelch_equivalent():
     assert bool(s8.squelch.suppress) == bool(s1.squelch.suppress)
 
 
+def test_fully_sharded_pll_and_difference_decoders():
+    """The last two discriminators to be sharded: `pll` (distributed-prefix
+    one-pole) and `difference` (2-sample ppermute halo) must match the
+    single-chip run."""
+    import pytest
+    from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
+    for dec, atol in (("pll", 5e-4), ("difference", 5e-4)):
+        cfg = ReceiverConfig(block_fm=32768, rds="off", decoder=dec,
+                             audio_filter_hz=15000)
+        rx = Receiver(cfg)
+        iq = _make_iq(3, cfg)
+        controls = default_controls()
+        step1 = jax.jit(rx.step)
+        s1 = rx.init_state()
+        srx = FullyShardedReceiver(rx, make_mesh(8))
+        s8 = srx.init_state()
+        for b in range(3):
+            blk = jnp.asarray(iq[b * cfg.block_in:(b + 1) * cfg.block_in])
+            s1, o1 = step1(s1, controls, blk)
+            s8, o8 = srx.step(s8, controls, blk)
+            np.testing.assert_allclose(np.asarray(o8.audio),
+                                       np.asarray(o1.audio), atol=atol,
+                                       err_msg=dec)
+        np.testing.assert_allclose(np.asarray(s8.demod.prev2),
+                                   np.asarray(s1.demod.prev2), atol=1e-6)
+        np.testing.assert_allclose(float(s8.demod.pll_incr),
+                                   float(s1.demod.pll_incr), atol=1e-5)
+
+
 def test_fully_sharded_am_decoder_equivalent():
     """Sharded AM path matches single-chip (guards the stream-tail carry)."""
     from sdrjfm_tpu.parallel.sharding import FullyShardedReceiver
