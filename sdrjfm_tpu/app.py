@@ -25,9 +25,14 @@ import time
 def _build_rx_parser(sub):
     p = sub.add_parser("rx", help="demodulate an IQ wav capture")
     p.add_argument("--iq", required=True,
-                   help="input IQ capture: wav (I=left, Q=right) or a "
+                   help="input IQ: wav capture (I=left, Q=right), a "
                         "headerless raw file (rtl_sdr/hackrf convention; "
-                        "needs --iq-format u8 or i16)")
+                        "needs --iq-format u8 or i16), or a live "
+                        "rtl_tcp://host:port network SDR (u8 stream; "
+                        "implies --follow)")
+    p.add_argument("--tune-hz", type=int,
+                   help="with an rtl_tcp source: tune the device to this "
+                        "center frequency")
     p.add_argument("--iq-format", default="auto",
                    choices=["auto", "c64", "i16", "u8"],
                    help="wire format fed to the device: i16/u8 keep integer "
@@ -162,8 +167,13 @@ def cmd_rx(args) -> int:
     from .io.wavio import is_riff, probe_wav, read_iq_raw, read_iq_wav_raw
     iq_fmt = args.iq_format
     iq = None
-    is_wav = is_riff(args.iq)
-    if not is_wav:
+    is_rtltcp = args.iq.startswith(("rtl_tcp://", "rtltcp://"))
+    is_wav = False if is_rtltcp else is_riff(args.iq)
+    if is_rtltcp:
+        # live network SDR: u8 stream over the native ring (streaming only)
+        args.follow = True
+        iq_fmt, rate = "u8", C.INPUT_RATE
+    elif not is_wav:
         # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
         if iq_fmt not in ("u8", "i16"):
             print("raw (non-wav) capture: pass --iq-format u8 or i16",
@@ -275,11 +285,19 @@ def cmd_rx(args) -> int:
         with profile_cm:
             if args.follow:
                 from .runtime.native_source import (NativeRawSource,
-                                                    NativeWavSource)
+                                                    NativeWavSource,
+                                                    RtlTcpSource)
                 from .runtime.stream import run_live
                 pace = not args.no_pace
                 loop = args.loop_seconds is not None
-                if iq_fmt == "c64":
+                if is_rtltcp:
+                    hostport = args.iq.split("://", 1)[1]
+                    host, _, port = hostport.partition(":")
+                    src = RtlTcpSource(host, int(port or 1234),
+                                       rate=C.INPUT_RATE)
+                    if args.tune_hz:
+                        src.set_frequency(args.tune_hz)
+                elif iq_fmt == "c64":
                     src = NativeWavSource(args.iq, pace=pace, loop=loop)
                 elif is_wav:
                     src = NativeRawSource(args.iq, pace=pace, loop=loop)

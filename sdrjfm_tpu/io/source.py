@@ -156,7 +156,47 @@ class SynthSource(_BaseSource):
 
 
 def open_source(spec: str, **kw) -> Source:
-    """Source factory: 'file:path.wav', 'native:path.wav', 'synth'."""
+    """Source factory: 'file:path.wav', 'native:path.wav', 'synth',
+    'rtltcp://host:port' (live network SDR)."""
+    if spec.startswith(("rtltcp:", "rtl_tcp:")):
+        from ..runtime.native_source import RtlTcpSource
+
+        class _RtlTcpAdapter(_BaseSource):
+            """deviceHandler-shaped wrapper: set_vfo_frequency really tunes
+            the remote dongle (rtl_tcp cmd 0x01 — the network twin of
+            rtlsdr-handler's setVFOFrequency); get_samples converts u8 ->
+            complex host-side for protocol users (the rx CLI instead feeds
+            the raw u8 frames to the device, rtlsdr-handler.cpp:285-294)."""
+
+            def __init__(self, hostport):
+                host, _, port = hostport.partition(":")
+                self._src = RtlTcpSource(host, int(port or 1234), **kw)
+                super().__init__(self._src.rate)
+                self._src.start()
+
+            def set_vfo_frequency(self, hz: int) -> None:
+                super().set_vfo_frequency(hz)
+                self._src.set_frequency(int(hz))
+
+            def bit_depth(self) -> int:
+                return 8
+
+            def samples(self) -> int:
+                return self._src.available()
+
+            def get_samples(self, n: int) -> np.ndarray:
+                u8 = self._src.read_block(n)
+                return (((u8[:, 0].astype(np.float32) - 127.0)
+                         + 1j * (u8[:, 1].astype(np.float32) - 127.0))
+                        / 128.0).astype(np.complex64)
+
+            def reset_buffer(self) -> None:
+                pass
+
+            def stop_reader(self) -> None:
+                self._src.stop()
+
+        return _RtlTcpAdapter(spec.split(":", 1)[1].lstrip("/"))
     if spec.startswith("native:"):
         from ..runtime.native_source import NativeWavSource
 

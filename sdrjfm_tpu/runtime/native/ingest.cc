@@ -12,6 +12,11 @@
 //
 // C ABI for ctypes; no Python dependencies.
 
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -408,6 +413,175 @@ void sdr_raw_stop(SdrRawSource* s) {
 void sdr_raw_close(SdrRawSource* s) {
   sdr_raw_stop(s);
   if (s->file) fclose(s->file);
+  delete s;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rtl_tcp network source: client for the standard rtl_tcp wire protocol the
+// rtlsdr tooling speaks (the network twin of the dongle the reference's
+// rtlsdr-handler drives locally via librtlsdr,
+// devices/rtlsdr-handler/rtlsdr-handler.cpp:102-116).  Stream side: the
+// server sends a 12-byte header ("RTL0", u32-BE tuner type, u32-BE gain
+// count) followed by an endless interleaved u8 IQ stream — which lands in
+// the same raw u8 ring as a headerless rtl_sdr capture, so the receiver's
+// iq_format='u8' on-device conversion ((v-127)/128,
+// rtlsdr-handler.cpp:285-294) applies unchanged.  Control side: 5-byte
+// commands, u8 opcode + u32 big-endian argument (0x01 set_freq,
+// 0x02 set_sample_rate, 0x03 gain mode, 0x04 tuner gain, 0x08 AGC).
+// A full ring drops frames — live-source semantics; the network IS the
+// pacing.
+// ---------------------------------------------------------------------------
+
+struct SdrTcpSource {
+  SpscRing<uint8_t> ring;     // interleaved u8 IQ frames, 2 bytes each
+  std::thread worker;
+  std::atomic<bool> running{false};
+  std::atomic<uint64_t> produced{0};   // frames
+  std::atomic<uint64_t> dropped{0};
+  std::atomic<int> eof{0};
+  int fd = -1;
+  uint32_t tuner_type = 0;
+  uint32_t gain_count = 0;
+
+  explicit SdrTcpSource(size_t ring_frames) : ring(ring_frames * 2) {}
+};
+
+namespace {
+
+bool recv_exact(int fd, uint8_t* dst, size_t n) {
+  size_t got = 0;
+  while (got < n) {
+    ssize_t r = recv(fd, dst + got, n - got, 0);
+    if (r <= 0) return false;
+    got += (size_t)r;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Connects and validates the server header. Returns nullptr on connect
+// failure, header timeout, or bad magic.
+SdrTcpSource* sdr_rtltcp_open(const char* host, int port,
+                              size_t ring_frames) {
+  struct addrinfo hints;
+  memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  char portstr[16];
+  snprintf(portstr, sizeof(portstr), "%d", port);
+  struct addrinfo* res = nullptr;
+  if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res) return nullptr;
+  int fd = -1;
+  for (struct addrinfo* p = res; p; p = p->ai_next) {
+    fd = socket(p->ai_family, p->ai_socktype, p->ai_protocol);
+    if (fd < 0) continue;
+    if (connect(fd, p->ai_addr, p->ai_addrlen) == 0) break;
+    close(fd);
+    fd = -1;
+  }
+  freeaddrinfo(res);
+  if (fd < 0) return nullptr;
+
+  struct timeval tv = {5, 0};   // header must arrive promptly
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  uint8_t hdr[12];
+  if (!recv_exact(fd, hdr, 12) || memcmp(hdr, "RTL0", 4) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  auto* s = new SdrTcpSource(ring_frames);
+  s->fd = fd;
+  s->tuner_type = (uint32_t(hdr[4]) << 24) | (uint32_t(hdr[5]) << 16) |
+                  (uint32_t(hdr[6]) << 8) | uint32_t(hdr[7]);
+  s->gain_count = (uint32_t(hdr[8]) << 24) | (uint32_t(hdr[9]) << 16) |
+                  (uint32_t(hdr[10]) << 8) | uint32_t(hdr[11]);
+  // short poll timeout so the reader thread notices stop() quickly
+  struct timeval rt = {0, 200000};
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &rt, sizeof(rt));
+  return s;
+}
+
+uint32_t sdr_rtltcp_tuner_type(SdrTcpSource* s) { return s->tuner_type; }
+uint32_t sdr_rtltcp_gain_count(SdrTcpSource* s) { return s->gain_count; }
+
+// 5-byte command frame: opcode + big-endian argument. Returns 0 on success.
+int sdr_rtltcp_command(SdrTcpSource* s, uint8_t cmd, uint32_t param) {
+  uint8_t msg[5] = {cmd, uint8_t(param >> 24), uint8_t(param >> 16),
+                    uint8_t(param >> 8), uint8_t(param)};
+  return send(s->fd, msg, 5, MSG_NOSIGNAL) == 5 ? 0 : -1;
+}
+
+void sdr_rtltcp_start(SdrTcpSource* s) {
+  if (s->running.load()) return;
+  if (s->worker.joinable()) s->worker.join();
+  s->running.store(true);
+  s->worker = std::thread([s]() {
+    std::vector<uint8_t> buf(65536);
+    size_t carry = 0;   // odd trailing byte of a frame split across recvs
+    while (s->running.load(std::memory_order_relaxed)) {
+      ssize_t r = recv(s->fd, buf.data() + carry, buf.size() - carry, 0);
+      if (r == 0) {            // orderly server shutdown
+        s->eof.store(1);
+        break;
+      }
+      if (r < 0) {             // poll timeout or transient error
+        if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR)
+          continue;
+        s->eof.store(1);
+        break;
+      }
+      size_t have = carry + (size_t)r;
+      size_t whole = have & ~size_t(1);   // keep IQ pairs intact
+      size_t put = s->ring.put(buf.data(), whole);
+      if (put < whole) {       // live source: a full ring drops frames
+        s->dropped.fetch_add((whole - put) / 2);
+      }
+      s->produced.fetch_add(whole / 2);
+      carry = have - whole;
+      if (carry) buf[0] = buf[whole];
+    }
+    s->running.store(false);
+  });
+}
+
+size_t sdr_rtltcp_read_blocking(SdrTcpSource* s, uint8_t* dst,
+                                size_t n_frames, long timeout_ms) {
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < n_frames) {
+    got += s->ring.get(dst + 2 * got, (n_frames - got) * 2) / 2;
+    if (got >= n_frames) break;
+    if (s->eof.load() && s->ring.readAvailable() < 2) break;
+    if (timeout_ms >= 0 && std::chrono::steady_clock::now() > deadline) break;
+    std::this_thread::sleep_for(std::chrono::microseconds(500));
+  }
+  return got;
+}
+
+size_t sdr_rtltcp_available(SdrTcpSource* s) {
+  return s->ring.readAvailable() / 2;
+}
+
+uint64_t sdr_rtltcp_dropped(SdrTcpSource* s) { return s->dropped.load(); }
+
+int sdr_rtltcp_eof(SdrTcpSource* s) {
+  return s->eof.load() && s->ring.readAvailable() < 2;
+}
+
+void sdr_rtltcp_stop(SdrTcpSource* s) {
+  s->running.store(false);
+  if (s->worker.joinable()) s->worker.join();
+}
+
+void sdr_rtltcp_close(SdrTcpSource* s) {
+  sdr_rtltcp_stop(s);
+  if (s->fd >= 0) close(s->fd);
   delete s;
 }
 

@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_raw_wav_open          # newest ABI symbol; probes staleness
+        lib.sdr_rtltcp_open           # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_raw_* symbols) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_rtltcp_* symbols) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -99,6 +99,30 @@ def load_library(build: bool = True):
     lib.sdr_raw_dropped.argtypes = [ctypes.c_void_p]
     lib.sdr_raw_eof.restype = ctypes.c_int
     lib.sdr_raw_eof.argtypes = [ctypes.c_void_p]
+    # rtl_tcp network source
+    lib.sdr_rtltcp_open.restype = ctypes.c_void_p
+    lib.sdr_rtltcp_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.c_size_t]
+    lib.sdr_rtltcp_tuner_type.restype = ctypes.c_uint32
+    lib.sdr_rtltcp_tuner_type.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_gain_count.restype = ctypes.c_uint32
+    lib.sdr_rtltcp_gain_count.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_command.restype = ctypes.c_int
+    lib.sdr_rtltcp_command.argtypes = [ctypes.c_void_p, ctypes.c_uint8,
+                                       ctypes.c_uint32]
+    lib.sdr_rtltcp_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_rtltcp_read_blocking.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_uint8),
+                                             ctypes.c_size_t, ctypes.c_long]
+    lib.sdr_rtltcp_available.restype = ctypes.c_size_t
+    lib.sdr_rtltcp_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_dropped.restype = ctypes.c_uint64
+    lib.sdr_rtltcp_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_eof.restype = ctypes.c_int
+    lib.sdr_rtltcp_eof.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -152,6 +176,103 @@ class NativeWavSource:
     def close(self):
         if self._h:
             self._lib.sdr_source_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RtlTcpSource:
+    """Network SDR source: client for the standard rtl_tcp protocol.
+
+    The live-device analogue of the reference's rtlsdr-handler (which drives
+    a local dongle via librtlsdr; rtl_tcp exposes the same dongle over TCP
+    with the same u8 sample stream and control surface).  The u8 IQ frames
+    land in the native ring untouched; ReceiverConfig.iq_format='u8' does
+    the (v-127)/128 conversion on-device (rtlsdr-handler.cpp:285-294).
+
+    Control commands follow the rtl_tcp opcode set: set_frequency(0x01),
+    set_sample_rate(0x02), gain mode(0x03), tuner gain(0x04), AGC(0x08).
+    """
+
+    CMD_SET_FREQ = 0x01
+    CMD_SET_SAMPLE_RATE = 0x02
+    CMD_SET_GAIN_MODE = 0x03
+    CMD_SET_GAIN = 0x04
+    CMD_SET_FREQ_CORRECTION = 0x05
+    CMD_SET_AGC_MODE = 0x08
+
+    fmt = "u8"
+
+    def __init__(self, host: str, port: int = 1234,
+                 rate: int = 2_304_000, ring_frames: int = 1 << 22):
+        self._lib = load_library()
+        self._h = self._lib.sdr_rtltcp_open(host.encode(), int(port),
+                                            ring_frames)
+        if not self._h:
+            raise IOError(f"cannot connect to rtl_tcp at {host}:{port}")
+        self._rate = int(rate)
+        self.tuner_type = int(self._lib.sdr_rtltcp_tuner_type(self._h))
+        self.tuner_gain_count = int(self._lib.sdr_rtltcp_gain_count(self._h))
+        self.set_sample_rate(rate)
+
+    @property
+    def rate(self) -> int:
+        return self._rate
+
+    def command(self, cmd: int, param: int) -> None:
+        if self._lib.sdr_rtltcp_command(self._h, cmd,
+                                        int(param) & 0xFFFFFFFF) != 0:
+            raise IOError("rtl_tcp command send failed")
+
+    def set_frequency(self, hz: int) -> None:
+        self.command(self.CMD_SET_FREQ, hz)
+
+    def set_sample_rate(self, rate: int) -> None:
+        self._rate = int(rate)
+        self.command(self.CMD_SET_SAMPLE_RATE, rate)
+
+    def set_gain_mode(self, manual: bool) -> None:
+        self.command(self.CMD_SET_GAIN_MODE, 1 if manual else 0)
+
+    def set_gain(self, tenths_db: int) -> None:
+        self.command(self.CMD_SET_GAIN, tenths_db)
+
+    def set_agc(self, on: bool) -> None:
+        self.command(self.CMD_SET_AGC_MODE, 1 if on else 0)
+
+    def start(self):
+        self._lib.sdr_rtltcp_start(self._h)
+
+    def stop(self):
+        self._lib.sdr_rtltcp_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_rtltcp_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_rtltcp_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_rtltcp_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] uint8 (iq_format='u8' layout)."""
+        buf = np.empty(n_frames * 2, dtype=np.uint8)
+        got = self._lib.sdr_rtltcp_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * 2].reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_rtltcp_close(self._h)
             self._h = None
 
     def __enter__(self):
