@@ -62,6 +62,17 @@ def _build_rx_parser(sub):
                    help="audio lowpass cutoff Hz (0 = off)")
     p.add_argument("--input-filter", action="store_true",
                    help="enable the strong 65536-pt channel filter")
+    p.add_argument("--fm-bandwidth", default=None,
+                   help="channel filter bandwidth in kHz, or 'off' "
+                        "(setBandwidth, fm-processor.cpp:232-239; a numeric "
+                        "value implies --input-filter)")
+    p.add_argument("--dc-remove", default="on", choices=["on", "off"],
+                   help="input DC-removal servo (setDCRemove, "
+                        "fm-processor.h:148)")
+    p.add_argument("--afc", action="store_true",
+                   help="automatic frequency control: close the loop around "
+                        "the demodulator's DC component every block "
+                        "(radio.cpp:1786-1809; loop/follow runners)")
     p.add_argument("--squelch", default="off", choices=["off", "nsq", "lsq"])
     p.add_argument("--squelch-level", default="0",
                    help="0..100, or 'auto' (nsq only: profile the first "
@@ -83,6 +94,15 @@ def _build_rx_parser(sub):
     p.add_argument("--dump-mpx", help="dump the demodulated MPX (192 kHz wav)")
     p.add_argument("--spectra", help="write hf/lf spectra + waterfall + RDS "
                                      "constellation to an npz")
+    p.add_argument("--lf-plot", default="demod",
+                   choices=["if_filtered", "demod", "af_sum", "af_diff",
+                            "af_left_filtered", "af_right_filtered",
+                            "af_mono_filtered", "rds_input", "rds_baseband"],
+                   help="LF scope tap for --spectra (ELfPlot, "
+                        "fm-processor.h:84-86; rds_input needs --rds)")
+    p.add_argument("--lf-zoom", type=int, default=1,
+                   help="LF spectrum zoom factor (ls-scope.cpp:131-176 "
+                        "display fold)")
     p.add_argument("--save-state", help="write the DSP carry state (npz) at "
                                         "the end of the run")
     p.add_argument("--ckpt-backend", default="npz", choices=["npz", "orbax"],
@@ -126,7 +146,12 @@ def _build_rx_parser(sub):
 
 def _build_scan_parser(sub):
     p = sub.add_parser("scan", help="band-scan a capture, identify stations")
-    p.add_argument("--iq", required=True)
+    p.add_argument("--iq", required=True,
+                   help="IQ capture: wav, or a headerless raw file "
+                        "(rtl_sdr/hackrf convention; needs --iq-format)")
+    p.add_argument("--iq-format", default="auto",
+                   choices=["auto", "c64", "i16", "u8"],
+                   help="raw-capture wire format (wav inputs: auto)")
     p.add_argument("--grid", type=int, default=100_000,
                    help="scan grid in Hz (the FM band raster)")
     p.add_argument("--threshold", type=float, default=20.0,
@@ -220,15 +245,34 @@ def cmd_rx(args) -> int:
         print("--follow streams block-by-block; dumps/spectra need the "
               "offline runners", file=sys.stderr)
         return 2
+    if args.afc and not args.follow and (args.pcm_out
+                                         or args.runner == "scan"):
+        print("--afc closes a per-block host loop; use --runner loop or "
+              "--follow", file=sys.stderr)
+        return 2
+    # setBandwidth semantics: 'off' disables the channel filter, a number
+    # (re)designs it at that bandwidth and turns it on
+    input_filter = args.input_filter
+    fm_bw_hz = None
+    if args.fm_bandwidth is not None:
+        if str(args.fm_bandwidth).lower() == "off":
+            input_filter = False
+        else:
+            input_filter = True
+            fm_bw_hz = float(args.fm_bandwidth) * 1000.0
+    cfg_kw = {}
+    if fm_bw_hz is not None:
+        cfg_kw["fm_bandwidth_hz"] = fm_bw_hz
     cfg = ReceiverConfig(
         block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
         sound=args.sound, pss_active=not args.no_pss,
         deemphasis_us=deemph_us, audio_filter_hz=args.audio_filter,
-        input_filter=args.input_filter, squelch=args.squelch,
+        input_filter=input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
         frontend=args.frontend, emit_taps=want_taps,
-        emit_input_tap=bool(args.dump_input), iq_format=iq_fmt)
+        emit_input_tap=bool(args.dump_input),
+        dc_remove=args.dc_remove == "on", iq_format=iq_fmt, **cfg_kw)
     rx = Receiver(cfg)
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0
@@ -277,6 +321,16 @@ def cmd_rx(args) -> int:
         profile_cm = jax.profiler.trace(args.profile)
     from .rds.live import LiveRDSDecoder
     live_rds = LiveRDSDecoder(pty_locale=args.pty_locale) if args.rds else None
+    controls_update = None
+    if args.afc:
+        from .models.tuner import AFCTracker
+        _afc = AFCTracker(cfg.fm_rate)
+        _base_lo = int(args.freq_offset)
+
+        def controls_update(ctl, meta):
+            off = _afc.update(meta["dc_if"])
+            return ctl._replace(lo_freq_hz=jnp.asarray(
+                int(round(_base_lo + off)), jnp.int32))
     sink = None
     if args.pcm_out:
         from .io.pcmout import PCMSink
@@ -315,7 +369,8 @@ def cmd_rx(args) -> int:
                         rx, src, controls, init_state=init_state,
                         max_blocks=max_blocks,
                         on_audio=sink.write if sink else None,
-                        rds_feedback=live_rds.feed if live_rds else None)
+                        rds_feedback=live_rds.feed if live_rds else None,
+                        controls_update=controls_update)
                 finally:
                     src.close()
             elif args.pcm_out:
@@ -334,7 +389,8 @@ def cmd_rx(args) -> int:
                 res = run_offline(rx, iq, controls, collect_taps=want_taps,
                                   init_state=init_state,
                                   rds_feedback=(live_rds.feed if live_rds
-                                                else None))
+                                                else None),
+                                  controls_update=controls_update)
     finally:
         if sink is not None:
             sink.close()
@@ -396,13 +452,25 @@ def cmd_rx(args) -> int:
                     ).astype(np.complex64)
         hf = np.asarray(scopes.spectrum_db(jnp.asarray(iq_c)))
         out_npz = {"hf_spectrum_db": hf}
-        if "demod" in res.taps:
-            d = res.taps["demod"]
-            nb = len(d) // cfg.block_fm
-            wf = [np.asarray(scopes.spectrum_db(
-                jnp.asarray(d[i * cfg.block_fm:(i + 1) * cfg.block_fm]
-                            ).astype(jnp.complex64))) for i in range(nb)]
-            out_npz["lf_waterfall_db"] = scopes.waterfall(wf)
+        if args.lf_plot in res.taps:
+            d = res.taps[args.lf_plot]
+            lf_rate = (cfg.rds_rate if args.lf_plot.startswith("rds")
+                       else cfg.fm_rate)
+            blk = (cfg.block_rds if args.lf_plot.startswith("rds")
+                   else cfg.block_fm)
+            nb = len(d) // blk
+            rows = []
+            for i in range(nb):
+                xa, amp, _ = scopes.lf_spectrum(
+                    jnp.asarray(d[i * blk:(i + 1) * blk]).astype(
+                        jnp.complex64), lf_rate, zoom_factor=args.lf_zoom)
+                rows.append(20.0 * np.log10(np.maximum(np.asarray(amp),
+                                                       1e-10)))
+            out_npz["lf_waterfall_db"] = scopes.waterfall(rows)
+            out_npz["lf_x_axis_khz"] = np.asarray(xa)
+        elif args.lf_plot != "demod":
+            print(f"--lf-plot {args.lf_plot}: tap not present in this "
+                  "config", file=sys.stderr)
         if res.rds_iq is not None:
             out_npz["rds_constellation"] = scopes.iq_constellation(res.rds_iq)
         np.savez(args.spectra, **out_npz)
@@ -445,7 +513,27 @@ def cmd_scan(args) -> int:
     from .rds.blocksync import BlockSynchronizer, Group
     from .rds.groups import GroupDecoder
 
-    iq, rate = read_iq_wav(args.iq)
+    from .io.wavio import is_riff, read_iq_raw
+    if is_riff(args.iq):
+        iq, rate = read_iq_wav(args.iq)
+    else:
+        # headerless raw capture: scan is not a perf path, so convert to
+        # complex host-side with the device conventions
+        # (rtlsdr-handler.cpp:285-294 for u8)
+        if args.iq_format not in ("u8", "i16"):
+            print("raw (non-wav) capture: pass --iq-format u8 or i16",
+                  file=sys.stderr)
+            return 2
+        raw = read_iq_raw(args.iq, args.iq_format)
+        if args.iq_format == "u8":
+            iq = (((raw[:, 0].astype(np.float32) - 127.0)
+                   + 1j * (raw[:, 1].astype(np.float32) - 127.0)) / 128.0
+                  ).astype(np.complex64)
+        else:
+            iq = ((raw[:, 0].astype(np.float32)
+                   + 1j * raw[:, 1].astype(np.float32)) / 32768.0
+                  ).astype(np.complex64)
+        rate = C.INPUT_RATE
     rc = RadioController(Receiver(ReceiverConfig(block_fm=args.block_fm,
                                                  rds="off")))
     T = rc.rx.cfg.block_in

@@ -77,6 +77,9 @@ class ReceiverConfig:
     rds: str = "block"                # off | block | scan1 | scan2 | scan3
                                       # (block = TPU-native; scanN = the
                                       # reference's per-sample decoders)
+    # DC-removal servo on/off (setDCRemove, fm-processor.h:148 /
+    # fm-processor.cpp:922-925: disabling also zeroes the tracked RfDC)
+    dc_remove: bool = True
     # decimation front-end kernels: 'flat' (default) holds the 0-60 kHz
     # multiplex within ±0.1 dB; 'reference' reproduces the reference's
     # 25/3-tap cascade (fm-processor.cpp:68-75), whose ~0.9 droop at 38 kHz
@@ -408,15 +411,20 @@ class Receiver:
         # correction is held constant within a block and the estimate is
         # updated once per block from a 1/64 stride subsample — same servo
         # semantics without a 2.3M-point recurrence in the hot path.
-        corr = jax.lax.complex(
-            jnp.clip(jnp.real(state.rf_dc), -C.RF_DC_LIMIT, C.RF_DC_LIMIT),
-            jnp.clip(jnp.imag(state.rf_dc), -C.RF_DC_LIMIT, C.RF_DC_LIMIT))
-        sub = x[:: self.DC_SUBSAMPLE]
-        if shard_axis is not None:
-            sub = jax.lax.all_gather(sub, shard_axis, tiled=True)
-        g_blk = float((1.0 - C.RF_DC_ALPHA) ** cfg.block_in)
-        dc_last = g_blk * state.rf_dc + (1.0 - g_blk) * jnp.mean(sub)
-        x = x - corr
+        if cfg.dc_remove:
+            corr = jax.lax.complex(
+                jnp.clip(jnp.real(state.rf_dc), -C.RF_DC_LIMIT, C.RF_DC_LIMIT),
+                jnp.clip(jnp.imag(state.rf_dc), -C.RF_DC_LIMIT,
+                         C.RF_DC_LIMIT))
+            sub = x[:: self.DC_SUBSAMPLE]
+            if shard_axis is not None:
+                sub = jax.lax.all_gather(sub, shard_axis, tiled=True)
+            g_blk = float((1.0 - C.RF_DC_ALPHA) ** cfg.block_in)
+            dc_last = g_blk * state.rf_dc + (1.0 - g_blk) * jnp.mean(sub)
+            x = x - corr
+        else:
+            # setDCRemove(false): servo off, tracked DC reset to zero
+            dc_last = jnp.zeros_like(state.rf_dc)
         input_tap = x if (cfg.emit_taps and cfg.emit_input_tap) else None
 
         # --- LO mix (tuning + AFC, radio.cpp:1056-1066) ---------------------
@@ -628,6 +636,9 @@ class Receiver:
                     state.rds_decim, shard_axis)
             if taps is not None:
                 taps["rds_baseband"] = z24
+                # the LF scope's RDS_INPUT tap: the decoder's 24 kHz input
+                # scaled x20 for display (fm-processor.cpp:566-569)
+                taps["rds_input"] = 20.0 * z24
             if not sharded:
                 rds_out, bitrec_state = self._recover_bits(z24, state.bitrec)
             else:
@@ -692,7 +703,11 @@ class Receiver:
         ramp_remaining = jnp.maximum(state.ramp_remaining - Tw, 0)
 
         # --- test tone (insertTestTone, fm-processor.cpp:800-823): 25 ms of
-        # 1 kHz at level 0.9 every 2 s; audio attenuated to 0.1 while on ----
+        # 1 kHz at level 0.9 every 2 s.  NOTE the reference attenuates the
+        # program `ioS *= (1-level)` UNCONDITIONALLY while the tone is
+        # enabled (fm-processor.cpp:805-807), including the silent 1.975 s
+        # between bursts — the block-constant 0.1x below reproduces that
+        # exactly (it is not a burst-gated attenuation) -------------------
         if cfg.test_tone:
             period = 2 * cfg.working_rate
             dur = cfg.working_rate // 40

@@ -56,6 +56,63 @@ def spectrum_db(x, display_size: int = 512, **kw):
     return 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
 
 
+def map_spectrum(bins: jnp.ndarray, display_size: int, zoom_factor: int = 1,
+                 show_full: bool = True):
+    """The LF scope's display fold (ls_scope::mapSpectrum,
+    ls-scope.cpp:131-176): amplitude bins averaged `factor` at a time into
+    the display, with the zoom factor narrowing the folded span.  Reference
+    quirks preserved: `factor /= 2` is unconditional (the half-spectrum
+    branch is commented out upstream), and a too-large zoom is clamped to
+    the available factor.  Full mode maps DC..+f up from mid-display and
+    the top bins (negative frequencies) mirrored below mid.
+
+    Returns (display [display_size], effective_zoom).
+    """
+    mag = jnp.abs(bins)
+    n = mag.shape[-1]
+    factor = n // display_size
+    factor //= 2
+    if factor // max(zoom_factor, 1) >= 1:
+        factor //= zoom_factor
+        eff_zoom = zoom_factor
+    else:
+        eff_zoom = factor
+        factor = 1
+    if show_full:
+        half = display_size // 2
+        up = mag[: half * factor].reshape(half, factor).mean(-1)
+        rev = mag[::-1][: half * factor].reshape(half, factor).mean(-1)
+        out = jnp.concatenate([rev[::-1], up])
+    else:
+        out = mag[: display_size * factor].reshape(display_size,
+                                                   factor).mean(-1)
+    return out, eff_zoom
+
+
+def lf_spectrum(x: jnp.ndarray, sample_rate: float, display_size: int = 512,
+                zoom_factor: int = 1, show_full: bool = True,
+                window: Window = "blackman"):
+    """LF scope spectrum (ls_scope::processLFSpectrum, ls-scope.cpp:76-128):
+    windowed FFT of 4*display_size segments, amplitude-averaged across
+    segments, folded through `map_spectrum`.  Returns
+    (x_axis_khz [display_size], amplitudes [display_size], effective_zoom)
+    — the x axis follows the reference's labeling (±rate/2/zoom for full,
+    0..rate/2/zoom for half, ls-scope.cpp:106-120).
+    """
+    seg = 4 * display_size
+    n = (x.shape[0] // seg) * seg
+    frames = x[:n].reshape(-1, seg) * _window(seg, window)[None, :]
+    bins = jnp.abs(jnp.fft.fft(frames, axis=-1)).mean(axis=0)
+    out, eff_zoom = map_spectrum(bins, display_size, zoom_factor, show_full)
+    temp = sample_rate / 2.0 / display_size
+    i = np.arange(display_size)
+    if show_full:
+        xa = (-(sample_rate / 2.0) + 2 * i * temp) / 1000.0 / eff_zoom
+    else:
+        xa = (i * temp) / 1000.0 / eff_zoom
+    return xa, out, eff_zoom
+
+
 def waterfall(blocks_spectra: np.ndarray) -> np.ndarray:
     """Stack per-block spectra [n_blocks, display] into a waterfall image."""
     return np.stack(blocks_spectra, axis=0)

@@ -35,17 +35,47 @@ from ..ops.pss import pss_zero_state
 from ..rds.bitrecovery import bitrecovery_zero_state
 
 
+class AFCTracker:
+    """The AFC loop filter (radio.cpp:1786-1809), step-able per block.
+
+    offset = K_FM-scaled demod DC converted to Hz, integrated with an
+    adaptive alpha (0.005 near lock / 0.05 / 0.8 far off) and a 3 Hz
+    deadband.  Shared by RadioController and the rx CLI's --afc.
+    """
+
+    def __init__(self, fm_rate: int = C.FM_RATE):
+        self.fm_rate = fm_rate
+        self.offset = 0.0
+
+    def reset(self):
+        self.offset = 0.0
+
+    def update(self, dc_component: float) -> float:
+        """Feed the block's demod DC (meta.dc_if); returns the accumulated
+        LO correction in Hz."""
+        freq_off = dc_component * self.fm_rate / (2.0 * np.pi)
+        if abs(freq_off) > 1000.0:
+            alpha = 0.8
+        elif abs(freq_off) > 100.0:
+            alpha = 0.05
+        else:
+            alpha = 0.005
+        if abs(freq_off) >= 3.0:       # deadband (radio.cpp:1809)
+            self.offset += alpha * freq_off
+        return self.offset
+
+
 @dataclass
 class RadioController:
     rx: Receiver
     afc_active: bool = False
     lo_freq: int = 0
     controls: Controls = field(default_factory=default_controls)
-    _afc_offset: float = 0.0
 
     def __post_init__(self):
         self._step = self.rx.jit_step()
         self.state = self.rx.init_state()
+        self._afc = AFCTracker(self.rx.cfg.fm_rate)
         self._set_lo(self.lo_freq)
 
     # -- tuning --------------------------------------------------------
@@ -60,7 +90,7 @@ class RadioController:
                              f"±{self.max_offset}")
         big_step = abs(offset_hz - self.lo_freq) >= 100_000
         self.lo_freq = int(offset_hz)
-        self._afc_offset = 0.0
+        self._afc.reset()
         self._set_lo(self.lo_freq)
         if big_step:
             self.trigger_frequency_change()
@@ -89,21 +119,9 @@ class RadioController:
         return out
 
     def _afc_update(self, dc_component: float):
-        """radio.cpp:1786-1809: offset = K_FM-scaled DC, adaptive alpha."""
-        cfg = self.rx.cfg
-        # demod DC (fm_afc) is in pre-scale units; the corresponding
-        # frequency offset is dc * fmRate / (2*pi)
-        freq_off = dc_component * cfg.fm_rate / (2.0 * np.pi)
-        if abs(freq_off) > 1000.0:
-            alpha = 0.8
-        elif abs(freq_off) > 100.0:
-            alpha = 0.05
-        else:
-            alpha = 0.005
-        if abs(freq_off) < 3.0:        # deadband
-            return
-        self._afc_offset += alpha * freq_off
-        self._set_lo(self.lo_freq + self._afc_offset)
+        """radio.cpp:1786-1809 via AFCTracker (demod DC (fm_afc) is in
+        pre-scale units; the frequency offset is dc * fmRate / (2*pi))."""
+        self._set_lo(self.lo_freq + self._afc.update(dc_component))
 
     # -- band scan ------------------------------------------------------
     def scan(self, iq_block, grid_hz: int = 100_000,

@@ -232,6 +232,7 @@ def run_live(rx: Receiver, source,
              on_audio=None, on_meta=None, on_rds_bits=None,
              keep_outputs: bool = True,
              rds_feedback=None,
+             controls_update=None,
              timeout_ms: int = 30_000) -> StreamResult:
     """Live block driver: pull paced blocks from a streaming Source's ring.
 
@@ -289,6 +290,8 @@ def run_live(rx: Receiver, source,
                 on_rds_bits(blk_bits)
             if rds_feedback is not None and rds_feedback(blk_bits):
                 state = rx.request_rds_resync(state)
+        if controls_update is not None:
+            controls = controls_update(controls, meta) or controls
         metas.append(meta)
         if keep_outputs:
             audio_acc.append(frames)
@@ -313,7 +316,8 @@ def run_offline(rx: Receiver, iq: np.ndarray,
                 drop_blocks: int = 0,
                 collect_taps: bool = False,
                 init_state=None,
-                rds_feedback=None) -> StreamResult:
+                rds_feedback=None,
+                controls_update=None) -> StreamResult:
     """Process a full IQ array through the receiver, block by block.
 
     drop_blocks: number of leading blocks to exclude from the result (filter
@@ -322,6 +326,10 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     synchronizer into the bit decoder (rds.live.LiveRDSDecoder.feed); True
     requests a bit-clock re-acquisition before the next block
     (Receiver.request_rds_resync, the decoder-3 contract).
+    controls_update(controls, meta) -> Controls|None: per-block control
+    closure — the host control loop of the reference's 500 ms metadata
+    tick (AFC, radio.cpp:1786-1809); returning a Controls replaces the
+    controls for subsequent blocks (traced args: no recompile).
     """
     cfg = rx.cfg
     controls = controls or default_controls()
@@ -341,6 +349,10 @@ def run_offline(rx: Receiver, iq: np.ndarray,
             n = int(out.rds.count)
             if rds_feedback(np.asarray(out.rds.bits)[:n]):
                 state = rx.request_rds_resync(state)
+        if controls_update is not None:
+            meta_now = {k: np.asarray(v).item()
+                        for k, v in out.meta._asdict().items()}
+            controls = controls_update(controls, meta_now) or controls
         if b < drop_blocks:
             continue
         audio.append(np.asarray(out.audio))

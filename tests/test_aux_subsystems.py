@@ -136,6 +136,81 @@ class TestScopes:
         assert img.sum() == 100
         assert img[50, 75] == 50 and img[50, 25] == 50
 
+    def test_map_spectrum_matches_reference_fold(self):
+        """map_spectrum == a direct port of ls_scope::mapSpectrum
+        (ls-scope.cpp:131-176) for every zoom factor, full and half."""
+        rng = np.random.default_rng(11)
+        D = 64
+        bins = (rng.standard_normal(4 * D)
+                + 1j * rng.standard_normal(4 * D)).astype(np.complex64)
+
+        def ref_map(inp, display_size, zoom, show_full):
+            n = len(inp)
+            factor = n // display_size
+            factor //= 2
+            if factor // zoom >= 1:
+                factor //= zoom
+                eff = zoom
+            else:
+                eff = factor
+                factor = 1
+            out = np.zeros(display_size)
+            if show_full:
+                for i in range(display_size // 2):
+                    out[display_size // 2 + i] = np.mean(
+                        np.abs(inp[i * factor:(i + 1) * factor]))
+                    out[display_size // 2 - 1 - i] = np.mean(
+                        [abs(inp[n - 1 - (i * factor + j)])
+                         for j in range(factor)])
+            else:
+                for i in range(display_size):
+                    out[i] = np.mean(
+                        np.abs(inp[i * factor:(i + 1) * factor]))
+            return out, eff
+
+        for zoom in (1, 2, 4, 99):
+            for full in (True, False):
+                want, eff_want = ref_map(bins, D, zoom, full)
+                got, eff = scopes.map_spectrum(jnp.asarray(bins), D,
+                                               zoom, full)
+                assert eff == eff_want, (zoom, full)
+                np.testing.assert_allclose(np.asarray(got), want,
+                                           rtol=1e-5)
+
+    def test_lf_spectrum_zoom_narrows_axis(self):
+        n = 2048 * 4
+        t = np.arange(n)
+        x = np.exp(1j * 2 * np.pi * 0.01 * t).astype(np.complex64)
+        xa1, a1, z1 = scopes.lf_spectrum(jnp.asarray(x), 192_000,
+                                         display_size=512, zoom_factor=1)
+        xa2, a2, z2 = scopes.lf_spectrum(jnp.asarray(x), 192_000,
+                                         display_size=512, zoom_factor=2)
+        assert z1 == 1 and z2 == 2
+        assert xa2.max() == xa1.max() / 2       # zoomed span is halved
+        assert a1.shape == a2.shape == (512,)
+
+    def test_rds_input_tap_present(self):
+        """The LF scope's RDS_INPUT tap (fm-processor.cpp:566-569): the
+        24 kHz decoder input x20, emitted with the other taps."""
+        from sdrjfm_tpu.io import synth
+        from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+        from sdrjfm_tpu.runtime.stream import run_offline
+
+        n = 2 * 32768
+        t = np.arange(n) / C.FM_RATE
+        mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 700 * t),
+                              0.5 * np.sin(2 * np.pi * 300 * t),
+                              synth.MPXParams(rds_level=0.08),
+                              rds_bits=np.asarray([1, 0] * 40, np.int8))
+        iq = synth.fm_modulate(mpx, C.FM_RATE)
+        rx = Receiver(ReceiverConfig(block_fm=32768, rds="block",
+                                     emit_taps=True))
+        res = run_offline(rx, iq, collect_taps=True)
+        assert "rds_input" in res.taps
+        np.testing.assert_allclose(res.taps["rds_input"],
+                                   20.0 * res.taps["rds_baseband"],
+                                   rtol=1e-6)
+
 
 class TestStations:
     def test_roundtrip_and_update(self, tmp_path):

@@ -68,6 +68,29 @@ class TestBlockSyncAndGroups:
         assert res.station_label == "TPU FM  "
         assert sync.groups_decoded > 40
 
+    def test_radiotext_ebu_charset_switches(self):
+        """EBU alphabet-switch sequences in radiotext: 0x0F 0x0F (G0),
+        0x0E 0x0E (G1), 0x1B 0x6E (G2) plus high-table chars, exercising
+        prepareText's switch walk (rds-groupdecoder.cpp:298-343).  Expected
+        output encodes the reference's quirks: after a switch the second
+        marker char is emitted via the table (0x0F/0x0E -> ' ', 0x6E -> 'n')
+        and the char after it is skipped ('C'/'E'/'F' vanish); 0x91 maps to
+        'ä' and 0xD1 to 'Ä' (EBU E.1)."""
+        pi, pty = 0x2222, 1
+        text = ("AB\x0f\x0fC\x91D\x0e\x0eE\x1bnF\x91\xd1\r"
+                + " " * 48)          # 16 chars -> 4 segments, then padding
+        bits = []
+        for _ in range(3):
+            for seg in range(4):
+                bits.extend(encode.group_2a(pi, pty, seg,
+                                            text[4 * seg:4 * seg + 4]))
+        sync, res = self._decode(bits)
+        assert sync.groups_decoded >= 8
+        # walk: A,B kept; 0F0F switch eats C, emits ' '; 0x91 -> 'ä'; D
+        # kept; 0E0E switch eats E, emits ' '; 1B6E switch eats F, emits
+        # 'n'; 0x91 0xD1 -> 'äÄ'; \r ends the text
+        assert res.radio_text == "AB äD näÄ"
+
     def test_extended_groups_ptyn_eon_tmc(self):
         """10A/14A/8A extensions decode from a synthetic stream."""
         pi, pty = 0x10F0, 10

@@ -53,8 +53,8 @@ class TestTuner:
         T = rc.rx.cfg.block_in
         for i in range(len(iq) // T):
             rc.process_block(iq[i * T:(i + 1) * T])
-        assert abs(rc._afc_offset - offset) < 400.0, rc._afc_offset
-        assert abs(rc._afc_offset - offset) < 0.5 * offset
+        assert abs(rc._afc.offset - offset) < 400.0, rc._afc.offset
+        assert abs(rc._afc.offset - offset) < 0.5 * offset
 
 
 class TestScan:
