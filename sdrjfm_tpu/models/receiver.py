@@ -302,6 +302,14 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def init_state(self) -> ReceiverState:
+        """Zero state, built under jit: the axon TPU backend wedges when
+        eagerly-created complex64 buffers later mix with device→host
+        transfers (CLAUDE.md quirks), and a compiled constant-builder is
+        also one transfer instead of ~20 tiny ones."""
+        import jax
+        return jax.jit(self._init_state_eager)()
+
+    def _init_state_eager(self) -> ReceiverState:
         cfg = self.cfg
         cplx = jnp.complex64
         return ReceiverState(

@@ -152,7 +152,11 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                   on_audio=None, on_meta=None, on_rds_bits=None,
                   drop_blocks: int = 0,
                   keep_outputs: bool = True,
-                  collect_taps: bool = False) -> StreamResult:
+                  collect_taps: bool = False,
+                  collect_meta: bool = True,
+                  chunk_blocks: int = 1,
+                  rds_feedback=None,
+                  controls_update=None) -> StreamResult:
     """Streaming block driver: per-block callbacks + double-buffered input.
 
     Block k+1's host→device transfer is issued (async `jax.device_put`)
@@ -170,7 +174,38 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
 
     keep_outputs=False skips accumulating outputs in memory (long/endless
     captures); the returned StreamResult then carries only meta+final state.
+    collect_meta=False skips the per-block metadata fetch entirely — the
+    Meta pytree is ~12 scalar device→host reads per block, a fixed cost
+    that dominates once compute is sub-millisecond (the production
+    equivalent of the reference emitting metadata every 500 ms rather than
+    per chunk, fm-processor.cpp:662-684).
+
+    chunk_blocks>1 is the throughput mode: each dispatch is a lax.scan over
+    that many blocks (state threads through identically; bit-exact vs the
+    scan runner `run_offline_scanned`, fp-close vs chunk_blocks=1 — the
+    scan body compiles with different fusion than the per-block jit), H2D
+    stages whole chunks, and each output crosses D2H
+    once per chunk instead of once per block.  Callbacks still fire per
+    block, just `chunk_blocks` at a time; latency rises from 1 to
+    chunk_blocks block periods.  This amortizes the fixed per-dispatch and
+    per-transfer costs that dominate sustained throughput when a block's
+    compute is microseconds (tools/bench_sustained.py measures both).
+    Taps collection is per-block-path only (assert).
+
+    rds_feedback(bits) -> bool and controls_update(controls, meta) ->
+    Controls close the same per-block host loops as run_live/run_offline
+    (decoder-3 bit-clock resync, rds-decoder-3.cpp:94-99; AFC,
+    radio.cpp:1786-1809) — per-block path only (chunked dispatches can't
+    react inside a chunk).
     """
+    if chunk_blocks > 1:
+        assert not collect_taps, "taps need the per-block path"
+        assert rds_feedback is None and controls_update is None, \
+            "per-block host feedback needs chunk_blocks=1"
+        return _run_streaming_chunked(rx, iq, controls, init_state,
+                                      on_audio, on_meta, on_rds_bits,
+                                      drop_blocks, keep_outputs,
+                                      collect_meta, chunk_blocks)
     cfg = rx.cfg
     controls = controls or default_controls()
     T = cfg.block_in
@@ -192,7 +227,10 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
             jax.block_until_ready(out.audio)
             continue
         frames = np.asarray(out.audio)
-        meta = {k: np.asarray(v).item() for k, v in out.meta._asdict().items()}
+        meta = ({k: np.asarray(v).item()
+                 for k, v in out.meta._asdict().items()}
+                if (collect_meta or on_meta is not None
+                    or controls_update is not None) else None)
         blk_bits = None
         if out.rds is not None:
             n = int(out.rds.count)
@@ -201,9 +239,15 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
             on_audio(frames)
         if on_meta is not None:
             on_meta(meta)
-        if on_rds_bits is not None and blk_bits is not None:
-            on_rds_bits(blk_bits)
-        metas.append(meta)
+        if blk_bits is not None:
+            if on_rds_bits is not None:
+                on_rds_bits(blk_bits)
+            if rds_feedback is not None and rds_feedback(blk_bits):
+                state = rx.request_rds_resync(state)
+        if controls_update is not None:
+            controls = controls_update(controls, meta) or controls
+        if meta is not None:
+            metas.append(meta)
         if keep_outputs:
             audio_acc.append(frames)
             if blk_bits is not None:
@@ -222,6 +266,95 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
         res.rds_iq = np.concatenate(biq_acc)
     if tap_acc:
         res.taps = {k: np.concatenate(v) for k, v in tap_acc.items()}
+    return res
+
+
+def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
+                           init_state, on_audio, on_meta, on_rds_bits,
+                           drop_blocks: int, keep_outputs: bool,
+                           collect_meta: bool, chunk_blocks: int
+                           ) -> StreamResult:
+    """run_streaming's throughput mode: one lax.scan dispatch per chunk.
+
+    State threads through the scan exactly as through per-block steps;
+    outputs are bit-identical to the scan runner and fp-close to
+    chunk_blocks=1 (guarded by tests/test_cli.py).  A trailing partial
+    chunk runs as a second, shorter scan (one extra compile, same program).
+    """
+    import jax
+
+    cfg = rx.cfg
+    controls = controls or default_controls()
+    T = cfg.block_in
+    nblocks = len(iq) // T
+    assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
+    wire = _wire_dtype(cfg)
+    state = init_state if init_state is not None else rx.init_state()
+
+    @jax.jit
+    def runc(state, controls, blocks):
+        def body(st, blk):
+            st, out = rx.step(st, controls, blk)
+            return st, out
+        return jax.lax.scan(body, state, blocks)
+
+    def stage(lo: int, k: int):
+        x = jnp.asarray(iq[lo * T:(lo + k) * T], wire)
+        shp = (k, T) if cfg.iq_format == "c64" else (k, T, 2)
+        return jax.device_put(x.reshape(shp))
+
+    want_meta = collect_meta or on_meta is not None
+    audio_acc, metas, bits_acc, biq_acc = [], [], [], []
+    lo = 0
+    k = min(chunk_blocks, nblocks)
+    dev = stage(0, k)
+    while lo < nblocks:
+        cur_k = dev.shape[0]
+        state, outs = runc(state, controls, dev)
+        nxt = lo + cur_k
+        if nxt < nblocks:          # stage the next chunk while this computes
+            dev = stage(nxt, min(chunk_blocks, nblocks - nxt))
+        audio = np.asarray(outs.audio)                      # [cur_k, Ta, 2]
+        meta_np = ({kk: np.asarray(v)
+                    for kk, v in outs.meta._asdict().items()}
+                   if want_meta else None)
+        bits_np = counts = biq_np = None
+        if outs.rds is not None:
+            counts = np.asarray(outs.rds.count)
+            bits_np = np.asarray(outs.rds.bits)
+            if keep_outputs:
+                biq_np = np.asarray(outs.rds.iq)
+        for j in range(cur_k):
+            b = lo + j
+            if b < drop_blocks:
+                continue
+            frames = audio[j]
+            if on_audio is not None:
+                on_audio(frames)
+            if meta_np is not None:
+                meta = {kk: v[j].item() for kk, v in meta_np.items()}
+                if on_meta is not None:
+                    on_meta(meta)
+                if collect_meta:
+                    metas.append(meta)
+            blk_bits = (bits_np[j, : int(counts[j])]
+                        if bits_np is not None else None)
+            if on_rds_bits is not None and blk_bits is not None:
+                on_rds_bits(blk_bits)
+            if keep_outputs:
+                audio_acc.append(frames)
+                if blk_bits is not None:
+                    bits_acc.append(blk_bits)
+                    biq_acc.append(biq_np[j, : int(counts[j])])
+        lo = nxt
+
+    res = StreamResult(
+        audio=(np.concatenate(audio_acc, axis=0) if audio_acc
+               else np.zeros((0, 2), np.float32)),
+        meta=metas, final_state=state)
+    if bits_acc:
+        res.rds_bits = np.concatenate(bits_acc)
+        res.rds_iq = np.concatenate(biq_acc)
     return res
 
 

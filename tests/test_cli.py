@@ -139,6 +139,23 @@ def test_streaming_runner_bit_exact_vs_loop():
     assert r1.meta == r2.meta
     if r1.rds_bits is not None:
         np.testing.assert_array_equal(r1.rds_bits, r2.rds_bits)
+    # throughput mode: scan-of-2 chunks + a trailing partial chunk (3 = 2+1).
+    # lax.scan compiles the block body with different fusion than the
+    # standalone per-block jit (fp-level reassociation), so the oracle is
+    # the scan runner (same program shape), bit for bit; the loop is
+    # fp-close.
+    from sdrjfm_tpu.runtime.stream import run_offline_scanned
+    rs = run_offline_scanned(rx, iq, chunk_blocks=2)
+    heard3 = []
+    r3 = run_streaming(rx, iq, on_audio=heard3.append, chunk_blocks=2)
+    np.testing.assert_array_equal(rs.audio, r3.audio)
+    np.testing.assert_array_equal(np.concatenate(heard3, axis=0), r3.audio)
+    np.testing.assert_allclose(r1.audio, r3.audio, atol=1e-5)
+    assert rs.meta == r3.meta
+    assert len(r3.meta) == len(r1.meta)
+    if r1.rds_bits is not None:
+        np.testing.assert_array_equal(rs.rds_bits, r3.rds_bits)
+        np.testing.assert_array_equal(rs.rds_iq, r3.rds_iq)
 
 
 def test_orbax_checkpoint_roundtrip(capture, tmp_path):

@@ -109,7 +109,11 @@ def test_live_overrun_drops_surfaced(capture16):
     with NativeRawSource(path, pace=True, ring_frames=1 << 15) as src:
         live = run_live(rx, src, max_blocks=4, on_meta=slow_meta)
     assert live.dropped_total > 0
-    assert sum(m["ingest_dropped"] for m in live.meta) == live.dropped_total
+    # per-block deltas cover drops up to each block's snapshot; the paced
+    # producer may drop more between the last processed block and close,
+    # which only the total sees
+    assert 0 < sum(m["ingest_dropped"] for m in live.meta) <= \
+        live.dropped_total
     assert any(m["ingest_dropped"] > 0 for m in live.meta)
 
 

@@ -44,8 +44,10 @@ def run_variant(iq_np, block_fm, iq_format, nblocks):
 
     st, outs = run(state, controls, blocks)
     jax.block_until_ready(outs.audio)
+    # 64-block scans + best-of-10: the ~150 us per-dispatch tunnel overhead
+    # dominated the old 16-block numbers (see CLAUDE.md perf notes)
     dt = float("inf")
-    for _ in range(5):
+    for _ in range(10):
         t0 = time.time()
         st, outs = run(st, controls, blocks)
         jax.block_until_ready(outs.audio)
@@ -60,7 +62,7 @@ def main():
     from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
 
-    total_fm = 16 * 131072
+    total_fm = 64 * 131072
     t = np.arange(total_fm) / C.FM_RATE
     rng = np.random.default_rng(0)
     bits = (rng.random(30000) > 0.5).astype(np.int8)
@@ -69,8 +71,8 @@ def main():
                           synth.MPXParams(), rds_bits=bits)
     iq_np = synth.fm_modulate(mpx, C.FM_RATE)
 
-    for fmt, blk, nb in (("c64", 131072, 16), ("i16", 131072, 16),
-                         ("u8", 131072, 16), ("i16", 262144, 8)):
+    for fmt, blk, nb in (("c64", 131072, 64), ("i16", 131072, 64),
+                         ("u8", 131072, 64), ("i16", 262144, 32)):
         print(json.dumps(run_variant(iq_np, blk, fmt, nb)), flush=True)
 
 
