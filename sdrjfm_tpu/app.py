@@ -22,6 +22,15 @@ import sys
 import time
 
 
+def _is_fifo(path: str) -> bool:
+    import os
+    import stat
+    try:
+        return stat.S_ISFIFO(os.stat(path).st_mode)
+    except OSError:
+        return False
+
+
 def _build_rx_parser(sub):
     p = sub.add_parser("rx", help="demodulate an IQ wav capture")
     p.add_argument("--iq", required=True,
@@ -29,6 +38,8 @@ def _build_rx_parser(sub):
                         "headerless raw file (rtl_sdr/hackrf convention; "
                         "needs --iq-format u8 or i16), or a live "
                         "rtl_tcp://host:port network SDR (u8 stream; "
+                        "implies --follow), or '-'/a FIFO for a headerless "
+                        "stream piped from any SDR tool (needs --iq-format; "
                         "implies --follow)")
     p.add_argument("--tune-hz", type=int,
                    help="with an rtl_tcp source: tune the device to this "
@@ -72,7 +83,7 @@ def _build_rx_parser(sub):
     p.add_argument("--afc", action="store_true",
                    help="automatic frequency control: close the loop around "
                         "the demodulator's DC component every block "
-                        "(radio.cpp:1786-1809; loop/follow runners)")
+                        "(radio.cpp:1786-1809; loop/pcm-out/follow runners)")
     p.add_argument("--squelch", default="off", choices=["off", "nsq", "lsq"])
     p.add_argument("--squelch-level", default="0",
                    help="0..100, or 'auto' (nsq only: profile the first "
@@ -193,11 +204,21 @@ def cmd_rx(args) -> int:
     iq_fmt = args.iq_format
     iq = None
     is_rtltcp = args.iq.startswith(("rtl_tcp://", "rtltcp://"))
-    is_wav = False if is_rtltcp else is_riff(args.iq)
+    is_pipe = args.iq == "-" or _is_fifo(args.iq)
+    is_wav = False if (is_rtltcp or is_pipe) else is_riff(args.iq)
     if is_rtltcp:
         # live network SDR: u8 stream over the native ring (streaming only)
         args.follow = True
         iq_fmt, rate = "u8", C.INPUT_RATE
+    elif is_pipe:
+        # stdin / FIFO: headerless stream from any external SDR tool
+        # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming only
+        if iq_fmt not in ("u8", "i16"):
+            print("pipe/stdin input: pass --iq-format u8 or i16",
+                  file=sys.stderr)
+            return 2
+        args.follow = True
+        rate = C.INPUT_RATE
     elif not is_wav:
         # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
         if iq_fmt not in ("u8", "i16"):
@@ -245,10 +266,10 @@ def cmd_rx(args) -> int:
         print("--follow streams block-by-block; dumps/spectra need the "
               "offline runners", file=sys.stderr)
         return 2
-    if args.afc and not args.follow and (args.pcm_out
-                                         or args.runner == "scan"):
-        print("--afc closes a per-block host loop; use --runner loop or "
-              "--follow", file=sys.stderr)
+    if args.afc and not args.follow and args.runner == "scan" \
+            and not args.pcm_out:
+        print("--afc closes a per-block host loop; use --runner loop, "
+              "--pcm-out, or --follow", file=sys.stderr)
         return 2
     # setBandwidth semantics: 'off' disables the channel filter, a number
     # (re)designs it at that bandwidth and turns it on
@@ -338,7 +359,8 @@ def cmd_rx(args) -> int:
     try:
         with profile_cm:
             if args.follow:
-                from .runtime.native_source import (NativeRawSource,
+                from .runtime.native_source import (NativePipeSource,
+                                                    NativeRawSource,
                                                     NativeWavSource,
                                                     RtlTcpSource)
                 from .runtime.stream import run_live
@@ -351,6 +373,9 @@ def cmd_rx(args) -> int:
                                        rate=C.INPUT_RATE)
                     if args.tune_hz:
                         src.set_frequency(args.tune_hz)
+                elif is_pipe:
+                    src = NativePipeSource(args.iq, fmt=iq_fmt,
+                                           rate=C.INPUT_RATE)
                 elif iq_fmt == "c64":
                     src = NativeWavSource(args.iq, pace=pace, loop=loop)
                 elif is_wav:
@@ -377,8 +402,9 @@ def cmd_rx(args) -> int:
                 from .runtime.stream import run_streaming
                 res = run_streaming(rx, iq, controls, init_state=init_state,
                                     on_audio=sink.write,
-                                    on_rds_bits=(live_rds.feed if live_rds
-                                                 else None),
+                                    rds_feedback=(live_rds.feed if live_rds
+                                                  else None),
+                                    controls_update=controls_update,
                                     collect_taps=want_taps)
             elif args.runner == "scan":
                 res = run_offline_scanned(rx, iq, controls,

@@ -157,7 +157,8 @@ class SynthSource(_BaseSource):
 
 def open_source(spec: str, **kw) -> Source:
     """Source factory: 'file:path.wav', 'native:path.wav', 'synth',
-    'rtltcp://host:port' (live network SDR)."""
+    'rtltcp://host:port' (live network SDR), 'pipe:-'/'pipe:fifo'
+    (headerless stream from any SDR tool; kw: fmt='u8'|'i16')."""
     if spec.startswith(("rtltcp:", "rtl_tcp:")):
         from ..runtime.native_source import RtlTcpSource
 
@@ -197,6 +198,41 @@ def open_source(spec: str, **kw) -> Source:
                 self._src.stop()
 
         return _RtlTcpAdapter(spec.split(":", 1)[1].lstrip("/"))
+    if spec.startswith("pipe:"):
+        from ..runtime.native_source import NativePipeSource
+
+        class _PipeAdapter(_BaseSource):
+            """deviceHandler-shaped wrapper over an stdin/FIFO stream
+            (open_source('pipe:-', fmt='u8')); get_samples converts the
+            integer frames host-side for protocol users — the rx CLI
+            instead feeds them to the device untouched."""
+
+            def __init__(self, path):
+                self._src = NativePipeSource(path, **kw)
+                super().__init__(self._src.rate)
+                self._src.start()
+
+            def bit_depth(self) -> int:
+                return 8 if self._src.fmt == "u8" else 16
+
+            def samples(self) -> int:
+                return self._src.available()
+
+            def get_samples(self, n: int) -> np.ndarray:
+                raw = self._src.read_block(n)
+                if self._src.fmt == "u8":
+                    f = (raw.astype(np.float32) - 127.0) / 128.0
+                else:
+                    f = raw.astype(np.float32) / 32768.0
+                return (f[:, 0] + 1j * f[:, 1]).astype(np.complex64)
+
+            def reset_buffer(self) -> None:
+                pass
+
+            def stop_reader(self) -> None:
+                self._src.stop()
+
+        return _PipeAdapter(spec[5:])
     if spec.startswith("native:"):
         from ..runtime.native_source import NativeWavSource
 

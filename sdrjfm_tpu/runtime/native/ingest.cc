@@ -13,7 +13,9 @@
 // C ABI for ctypes; no Python dependencies.
 
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netdb.h>
+#include <poll.h>
 #include <sys/socket.h>
 #include <unistd.h>
 
@@ -280,6 +282,8 @@ struct SdrRawSource {
   long data_bytes = 0;
   bool pace;
   bool loop;
+  int pipe_fd = -1;           // >=0: unseekable stream (stdin / FIFO / pipe)
+  bool drop_on_full = false;  // pipe ring-full policy (else backpressure)
 
   SdrRawSource(size_t ring_frames, int frame_bytes_, bool pace_, bool loop_)
       : ring(ring_frames * frame_bytes_), frame_bytes(frame_bytes_),
@@ -329,13 +333,90 @@ SdrRawSource* sdr_raw_file_open(const char* path, size_t ring_frames,
   return s;
 }
 
+// Unseekable headerless IQ stream: stdin (path "-"), a FIFO, or any pipe.
+// The glue that lets ANY external SDR tool feed the receiver live
+// (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`) without a vendor library
+// — the pipe end of the reference's device zoo.  No pacing (the producer
+// paces) and no loop (nothing to seek back to).  drop_on_full=0 applies
+// backpressure (stop reading; the OS pipe then blocks the producer — the
+// offline-correct policy), =1 drops whole frames like a live source.
+SdrRawSource* sdr_raw_pipe_open(const char* path, size_t ring_frames,
+                                int bytes_per_component, uint32_t rate,
+                                int drop_on_full) {
+  if (bytes_per_component != 1 && bytes_per_component != 2) return nullptr;
+  int fd = (strcmp(path, "-") == 0) ? dup(0) : open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  auto* s = new SdrRawSource(ring_frames, 2 * bytes_per_component,
+                             /*pace=*/false, /*loop=*/false);
+  s->pipe_fd = fd;
+  s->rate = rate;
+  s->drop_on_full = drop_on_full != 0;
+  return s;
+}
+
 uint32_t sdr_raw_rate(SdrRawSource* s) { return s->rate; }
 int sdr_raw_frame_bytes(SdrRawSource* s) { return s->frame_bytes; }
+
+namespace {
+
+// Producer loop for unseekable streams: poll (so stop() is honored even
+// with a silent producer) + partial reads with a frame-boundary carry,
+// exactly like the rtl_tcp reader.
+void pipe_worker(SdrRawSource* s) {
+  const size_t fb = (size_t)s->frame_bytes;
+  std::vector<uint8_t> buf(65536);
+  size_t carry = 0;
+  while (s->running.load(std::memory_order_relaxed)) {
+    struct pollfd pfd = {s->pipe_fd, POLLIN, 0};
+    int pr = poll(&pfd, 1, 200);
+    if (pr == 0) continue;
+    if (pr < 0) {
+      if (errno == EINTR) continue;
+      s->eof.store(1);
+      break;
+    }
+    ssize_t r = read(s->pipe_fd, buf.data() + carry, buf.size() - carry);
+    if (r == 0) {              // producer closed its end
+      s->eof.store(1);
+      break;
+    }
+    if (r < 0) {
+      if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) continue;
+      s->eof.store(1);
+      break;
+    }
+    size_t have = carry + (size_t)r;
+    size_t whole = have - have % fb;
+    size_t put = 0;
+    while (put < whole && s->running.load(std::memory_order_relaxed)) {
+      size_t n = s->ring.put(buf.data() + put, whole - put);
+      put += n;
+      if (n == 0) {
+        if (s->drop_on_full) {
+          s->dropped.fetch_add((whole - put) / fb);
+          put = whole;
+          break;
+        }
+        std::this_thread::sleep_for(std::chrono::microseconds(200));
+      }
+    }
+    s->produced.fetch_add(whole / fb);
+    carry = have - whole;
+    if (carry) memmove(buf.data(), buf.data() + whole, carry);
+  }
+  s->running.store(false);
+}
+
+}  // namespace
 
 void sdr_raw_start(SdrRawSource* s) {
   if (s->running.load()) return;
   if (s->worker.joinable()) s->worker.join();  // reap an EOF'd worker
   s->running.store(true);
+  if (s->pipe_fd >= 0) {
+    s->worker = std::thread(pipe_worker, s);
+    return;
+  }
   fseek(s->file, s->data_offset, SEEK_SET);
   s->worker = std::thread([s]() {
     const size_t slice = s->pace ? s->rate / 100 : 65536;
@@ -413,6 +494,7 @@ void sdr_raw_stop(SdrRawSource* s) {
 void sdr_raw_close(SdrRawSource* s) {
   sdr_raw_stop(s);
   if (s->file) fclose(s->file);
+  if (s->pipe_fd >= 0) close(s->pipe_fd);
   delete s;
 }
 

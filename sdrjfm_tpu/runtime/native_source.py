@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_rtltcp_open           # newest ABI symbol; probes staleness
+        lib.sdr_raw_pipe_open         # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_rtltcp_* symbols) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_raw_pipe_open) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -82,6 +82,10 @@ def load_library(build: bool = True):
     lib.sdr_raw_file_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_uint32]
+    lib.sdr_raw_pipe_open.restype = ctypes.c_void_p
+    lib.sdr_raw_pipe_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_int, ctypes.c_uint32,
+                                      ctypes.c_int]
     lib.sdr_raw_rate.restype = ctypes.c_uint32
     lib.sdr_raw_rate.argtypes = [ctypes.c_void_p]
     lib.sdr_raw_frame_bytes.restype = ctypes.c_int
@@ -273,6 +277,73 @@ class RtlTcpSource:
     def close(self):
         if self._h:
             self._lib.sdr_rtltcp_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativePipeSource:
+    """Unseekable headerless IQ stream: stdin (path '-'), a FIFO, or any
+    pipe — lets ANY external SDR tool feed the receiver live without a
+    vendor library (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`).  The
+    frames land in the raw integer ring untouched (iq_format='u8'/'i16'
+    converts on-device).  No pacing (the producer paces); drop_on_full=False
+    applies backpressure through the OS pipe (offline-correct), True drops
+    frames like a live source and counts them.
+    """
+
+    def __init__(self, path: str, fmt: str, rate: int = 2_304_000,
+                 ring_frames: int = 1 << 22, drop_on_full: bool = False):
+        self._lib = load_library()
+        if fmt not in ("u8", "i16"):
+            raise ValueError("pipe stream needs fmt='u8' or 'i16'")
+        self._h = self._lib.sdr_raw_pipe_open(
+            str(path).encode(), ring_frames, 1 if fmt == "u8" else 2,
+            rate, int(drop_on_full))
+        if not self._h:
+            raise IOError(f"cannot open pipe source {path}")
+        self.fmt = fmt
+        self._dtype = np.uint8 if fmt == "u8" else np.int16
+
+    # identical consumer surface to NativeRawSource (same C object)
+    @property
+    def rate(self) -> int:
+        return int(self._lib.sdr_raw_rate(self._h))
+
+    def start(self):
+        self._lib.sdr_raw_start(self._h)
+
+    def stop(self):
+        self._lib.sdr_raw_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_raw_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_raw_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_raw_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] u8/i16 (the iq_format layout)."""
+        fb = int(self._lib.sdr_raw_frame_bytes(self._h))
+        buf = np.empty(n_frames * fb, dtype=np.uint8)
+        got = self._lib.sdr_raw_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * fb].view(self._dtype).reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_raw_close(self._h)
             self._h = None
 
     def __enter__(self):

@@ -45,6 +45,18 @@ def test_afc_pulls_in_carrier_offset(offset_capture, tmp_path):
     assert abs(with_afc[0]["dc_if"]) > dc_afc
 
 
+def test_afc_through_streaming_runner(offset_capture, tmp_path):
+    """--afc also closes its per-block loop through --pcm-out's streaming
+    runner (run_streaming controls_update — same contract as run_live)."""
+    pcm = str(tmp_path / "s.pcm")
+    log = str(tmp_path / "safc.jsonl")
+    rc = main(["rx", "--iq", offset_capture, "--block-fm", "32768",
+               "--pcm-out", pcm, "--afc", "--log-meta", log])
+    assert rc == 0
+    recs = [json.loads(line) for line in open(log)]
+    assert abs(recs[-1]["dc_if"]) < 0.5 * abs(recs[0]["dc_if"])
+
+
 def test_afc_rejected_for_scan_runner(offset_capture, tmp_path):
     assert main(["rx", "--iq", offset_capture, "--block-fm", "32768",
                  "--afc", "--runner", "scan"]) == 2
