@@ -293,6 +293,11 @@ def cmd_rx(args) -> int:
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
         frontend=args.frontend, emit_taps=want_taps,
         emit_input_tap=bool(args.dump_input),
+        # streaming sinks take the on-device-quantized PCM16 wire form
+        # (half the device->host audio bytes; s16le is what they emit
+        # anyway) unless the user asked for float32 wav output
+        emit_audio_i16=bool((args.pcm_out or args.follow)
+                            and not args.float32),
         dc_remove=args.dc_remove == "on", iq_format=iq_fmt, **cfg_kw)
     rx = Receiver(cfg)
     balance = args.balance

@@ -49,13 +49,19 @@ class PCMSink:
             self._own = True
 
     def write(self, frames: np.ndarray) -> None:
-        """frames: [n, channels] (or [n] mono) float in [-1, 1]."""
-        x = np.asarray(frames, dtype=np.float32)
+        """frames: [n, channels] (or [n] mono) float in [-1, 1], or int16
+        already quantized (the receiver's on-device emit_audio_i16 wire
+        form — passed straight through)."""
+        x = np.asarray(frames)
         if x.ndim == 1:
             x = x[:, None]
         assert x.shape[1] == self.channels, (x.shape, self.channels)
-        # same quantizer as io.wavio.write_wav PCM16
-        pcm = (np.clip(x, -1.0, 1.0 - 1.0 / 32768) * 32768.0).astype("<i2")
+        if x.dtype == np.int16:
+            pcm = x.astype("<i2", copy=False)
+        else:
+            # same quantizer as io.wavio.write_wav PCM16
+            pcm = (np.clip(x.astype(np.float32), -1.0, 1.0 - 1.0 / 32768)
+                   * 32768.0).astype("<i2")
         if self.pace:
             if self._t0 is None:
                 self._t0 = time.time()

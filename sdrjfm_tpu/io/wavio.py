@@ -77,14 +77,21 @@ def read_wav(path: str):
 
 
 def write_wav(path: str, data: np.ndarray, rate: int, float32: bool = True):
-    """Write [n] or [n, channels] samples; float32 or PCM16."""
+    """Write [n] or [n, channels] samples; float32 or PCM16.  int16 input
+    (already-quantized PCM, e.g. the receiver's emit_audio_i16 wire form)
+    is written through exactly in PCM16 mode, rescaled in float mode."""
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
     ch = data.shape[1]
     if float32:
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
         payload = data.astype("<f4").tobytes()
         fmt_tag, bits = 3, 32
+    elif data.dtype == np.int16:
+        payload = data.astype("<i2", copy=False).tobytes()
+        fmt_tag, bits = 1, 16
     else:
         payload = (np.clip(data, -1.0, 1.0 - 1.0 / 32768)
                    * 32768.0).astype("<i2").tobytes()

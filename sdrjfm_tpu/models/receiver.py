@@ -106,6 +106,11 @@ class ReceiverConfig:
     # IQ dump for offline A/B, fm-processor.cpp:448-455 — dumped after the
     # DC servo pass, before the LO mix).  Expensive: block_in complex64.
     emit_input_tap: bool = False
+    # also emit the audio as PCM16 (Output.audio_i16), quantized on device
+    # with io.pcmout's exact quantizer — half the device->host audio bytes
+    # for streaming sinks that want s16le anyway (the reference's audio
+    # wire format, audiosink.cpp putSample -> s16 PA stream)
+    emit_audio_i16: bool = False
 
     @property
     def block_in(self) -> int:
@@ -160,6 +165,22 @@ class Output(NamedTuple):
     meta: Meta
     rds: Optional[BitBlock]
     taps: Optional[dict]
+    # one-transfer wire forms: the Meta scalars + the RDS bit count packed
+    # into a single f32 vector (the streaming drivers fetch ONE array per
+    # block instead of ~9 scalar round trips — on a remote-tunnel runtime
+    # each scalar D2H costs ~50 ms), and the optional on-device PCM16 audio
+    meta_vec: Optional[Array] = None     # f32[len(Meta._fields)+1]
+    audio_i16: Optional[Array] = None    # [block_audio, 2] int16
+
+
+def meta_dict_from_vec(mv) -> dict:
+    """Rebuild the per-block meta dict (and the RDS count) from the packed
+    wire vector: returns (meta_dict, rds_count)."""
+    vals = [float(v) for v in mv]
+    d = dict(zip(Meta._fields, vals[: len(Meta._fields)]))
+    d["pilot_locked"] = bool(d["pilot_locked"])
+    d["pss_established"] = bool(d["pss_established"])
+    return d, int(vals[len(Meta._fields)])
 
 
 class ReceiverState(NamedTuple):
@@ -797,9 +818,21 @@ class Receiver:
             audio_decim=audio_decim, ramp_remaining=ramp_remaining,
             audio_up=audio_up_state, tone_index=tone_index)
 
-        out = Output(
-            audio=jnp.stack([jnp.real(pcm), jnp.imag(pcm)], axis=-1),
-            meta=meta, rds=rds_out, taps=taps)
+        audio = jnp.stack([jnp.real(pcm), jnp.imag(pcm)], axis=-1)
+        count = (rds_out.count if rds_out is not None
+                 else jnp.asarray(-1, jnp.int32))
+        meta_vec = jnp.stack([jnp.asarray(v, jnp.float32) for v in meta]
+                             + [count.astype(jnp.float32)])
+        audio_i16 = None
+        if cfg.emit_audio_i16:
+            # io.pcmout.PCMSink's exact quantizer, run on device.  numpy's
+            # astype(int16) truncates toward zero while XLA's convert
+            # rounds, so trunc explicitly before the cast — bit-identical
+            # to the host quantizer (guarded by tests).
+            audio_i16 = jnp.trunc(jnp.clip(audio, -1.0, 1.0 - 1.0 / 32768)
+                                  * 32768.0).astype(jnp.int16)
+        out = Output(audio=audio, meta=meta, rds=rds_out, taps=taps,
+                     meta_vec=meta_vec, audio_i16=audio_i16)
         return new_state, out
 
     # ------------------------------------------------------------------

@@ -101,7 +101,8 @@ class FullyShardedReceiver:
             return new_state, out, tails
 
         from ..models.receiver import Output
-        out_spec_output = Output(audio=P(axis), meta=P(), rds=P(), taps=P())
+        out_spec_output = Output(audio=P(axis), meta=P(), rds=P(), taps=P(),
+                                 meta_vec=P(), audio_i16=P(axis))
         self._body = shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(), P(axis)),

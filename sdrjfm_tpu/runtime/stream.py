@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.receiver import Controls, Output, Receiver, default_controls
+from ..models.receiver import (Controls, Output, Receiver, default_controls,
+                               meta_dict_from_vec)
 
 
 def _wire_dtype(cfg):
@@ -124,10 +125,9 @@ def run_offline_scanned(rx: Receiver, iq: np.ndarray,
     state, outs = run_offline_scan(rx, iq, controls, init_state=init_state)
     nblocks = outs.audio.shape[0]
     audio = np.asarray(outs.audio)[drop_blocks:].reshape(-1, 2)
-    metas = []
-    meta_np = {k: np.asarray(v) for k, v in outs.meta._asdict().items()}
-    for b in range(drop_blocks, nblocks):
-        metas.append({k: v[b].item() for k, v in meta_np.items()})
+    mv_np = np.asarray(outs.meta_vec)           # one fetch for all blocks
+    metas = [meta_dict_from_vec(mv_np[b])[0]
+             for b in range(drop_blocks, nblocks)]
     res = StreamResult(audio=audio, meta=metas, final_state=state)
     if outs.rds is not None:
         all_bits = np.asarray(outs.rds.bits)
@@ -226,14 +226,15 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
         if b < drop_blocks:
             jax.block_until_ready(out.audio)
             continue
-        frames = np.asarray(out.audio)
-        meta = ({k: np.asarray(v).item()
-                 for k, v in out.meta._asdict().items()}
-                if (collect_meta or on_meta is not None
-                    or controls_update is not None) else None)
+        frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
+                            else out.audio)
+        meta = n = None
+        if collect_meta or on_meta is not None or controls_update is not None:
+            meta, n = meta_dict_from_vec(np.asarray(out.meta_vec))
         blk_bits = None
         if out.rds is not None:
-            n = int(out.rds.count)
+            if n is None:
+                n = int(out.rds.count)
             blk_bits = np.asarray(out.rds.bits)[:n]
         if on_audio is not None:
             on_audio(frames)
@@ -314,10 +315,9 @@ def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
         nxt = lo + cur_k
         if nxt < nblocks:          # stage the next chunk while this computes
             dev = stage(nxt, min(chunk_blocks, nblocks - nxt))
-        audio = np.asarray(outs.audio)                      # [cur_k, Ta, 2]
-        meta_np = ({kk: np.asarray(v)
-                    for kk, v in outs.meta._asdict().items()}
-                   if want_meta else None)
+        audio = np.asarray(outs.audio_i16 if outs.audio_i16 is not None
+                           else outs.audio)                 # [cur_k, Ta, 2]
+        mv_np = np.asarray(outs.meta_vec) if want_meta else None
         bits_np = counts = biq_np = None
         if outs.rds is not None:
             counts = np.asarray(outs.rds.count)
@@ -331,8 +331,8 @@ def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
             frames = audio[j]
             if on_audio is not None:
                 on_audio(frames)
-            if meta_np is not None:
-                meta = {kk: v[j].item() for kk, v in meta_np.items()}
+            if mv_np is not None:
+                meta, _ = meta_dict_from_vec(mv_np[j])
                 if on_meta is not None:
                     on_meta(meta)
                 if collect_meta:
@@ -405,14 +405,15 @@ def run_live(rx: Receiver, source,
                           jax.device_put(jnp.asarray(blk_np, wire)))
         # pre-read the next block from the ring while the device computes
         blk_np = source.read_block(T, timeout_ms)
-        frames = np.asarray(out.audio)
+        frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
+                            else out.audio)
         drops_total = source.dropped
-        meta = {k: np.asarray(v).item() for k, v in out.meta._asdict().items()}
+        # one packed D2H instead of ~9 scalar round trips
+        meta, n = meta_dict_from_vec(np.asarray(out.meta_vec))
         meta["ingest_dropped"] = int(drops_total - dropped_last)
         dropped_last = drops_total
         blk_bits = None
         if out.rds is not None:
-            n = int(out.rds.count)
             blk_bits = np.asarray(out.rds.bits)[:n]
         if on_audio is not None:
             on_audio(frames)
@@ -478,21 +479,18 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     for b in range(nblocks):
         blk = jnp.asarray(iq[b * T : (b + 1) * T], wire)
         state, out = step(state, controls, blk)
+        # one packed D2H for the meta scalars + RDS count
+        meta, n = meta_dict_from_vec(np.asarray(out.meta_vec))
         if out.rds is not None and rds_feedback is not None:
-            n = int(out.rds.count)
             if rds_feedback(np.asarray(out.rds.bits)[:n]):
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
-            meta_now = {k: np.asarray(v).item()
-                        for k, v in out.meta._asdict().items()}
-            controls = controls_update(controls, meta_now) or controls
+            controls = controls_update(controls, meta) or controls
         if b < drop_blocks:
             continue
         audio.append(np.asarray(out.audio))
-        metas.append({k: np.asarray(v).item()
-                      for k, v in out.meta._asdict().items()})
+        metas.append(meta)
         if out.rds is not None:
-            n = int(out.rds.count)
             bits.append(np.asarray(out.rds.bits)[:n])
             biq.append(np.asarray(out.rds.iq)[:n])
         if collect_taps and out.taps:

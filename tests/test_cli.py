@@ -158,6 +158,36 @@ def test_streaming_runner_bit_exact_vs_loop():
         np.testing.assert_array_equal(rs.rds_iq, r3.rds_iq)
 
 
+def test_audio_i16_wire_matches_host_quantizer():
+    """emit_audio_i16: the on-device PCM16 quantizer is bit-identical to
+    io.pcmout/io.wavio's host quantizer (trunc-toward-zero, same clip)."""
+    import jax.numpy as jnp
+    from sdrjfm_tpu import constants as C
+    from sdrjfm_tpu.io import synth
+    from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
+                                            default_controls)
+
+    n = 32768
+    t = np.arange(n) / C.FM_RATE
+    mpx = synth.synth_mpx(0.7 * np.sin(2 * np.pi * 700 * t),
+                          0.7 * np.sin(2 * np.pi * 300 * t),
+                          synth.MPXParams())
+    iq = synth.fm_modulate(mpx, C.FM_RATE)
+    rx = Receiver(ReceiverConfig(block_fm=32768, emit_audio_i16=True,
+                                 rds="off"))
+    state, out = rx.jit_step()(rx.init_state(), default_controls(),
+                               jnp.asarray(iq[: rx.cfg.block_in]))
+    a = np.asarray(out.audio)
+    host = (np.clip(a, -1.0, 1.0 - 1.0 / 32768) * 32768.0).astype(np.int16)
+    np.testing.assert_array_equal(np.asarray(out.audio_i16), host)
+    # and the packed meta vector round-trips the Meta scalars exactly
+    from sdrjfm_tpu.models.receiver import meta_dict_from_vec
+    md, n_rds = meta_dict_from_vec(np.asarray(out.meta_vec))
+    ref = {k: np.asarray(v).item() for k, v in out.meta._asdict().items()}
+    assert md == ref
+    assert n_rds == -1                    # rds off in this config
+
+
 def test_orbax_checkpoint_roundtrip(capture, tmp_path):
     """--ckpt-backend orbax writes a directory; --load-state auto-detects it
     and resumes bit-identically to the npz backend."""

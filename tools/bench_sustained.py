@@ -10,9 +10,12 @@ This is what a production `rx` run sustains end-to-end.
 
 One JSON line per variant:
   {"metric": "fm_sustained_realtime_x", ...}        per-block dispatch
-  {"metric": "fm_sustained_meta_realtime_x", ...}   + per-block Meta fetch
-  {"metric": "fm_sustained_chunk8_realtime_x", ...} chunk_blocks=8 scans
+  {"metric": "fm_sustained_meta_realtime_x", ...}   + per-block meta fetch
   {"metric": "fm_sustained_chunk64_realtime_x", ...} one 64-block scan
+  {"metric": "fm_sustained_wire_realtime_x", ...}   per-block, meta +
+      emit_audio_i16 (the --pcm-out production path: PCM16 quantized on
+      device, meta packed into one vector)
+  {"metric": "fm_sustained_chunk64_wire_realtime_x", ...} both combined
 
 Run on the TPU (axon): the tunnel adds fixed per-transfer latency, so the
 sustained number is dominated by per-block H2D/D2H round trips, not
@@ -36,6 +39,8 @@ def main():
     cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000,
                          iq_format="i16")
     rx = Receiver(cfg)
+    import dataclasses
+    rx_wire = Receiver(dataclasses.replace(cfg, emit_audio_i16=True))
     controls = default_controls()
 
     nblocks = 64
@@ -49,15 +54,16 @@ def main():
     iq_np = synth.iq_to_i16(
         synth.fm_modulate(mpx, C.FM_RATE))[: cfg.block_in * nblocks]
 
-    # warmup/compile on a short run (per-block program + both chunk sizes)
-    run_streaming(rx, iq_np[: 2 * cfg.block_in], controls,
-                  keep_outputs=False, collect_meta=False)
-    for ck in (8, 64):
-        run_streaming(rx, iq_np[: ck * cfg.block_in], controls,
+    # warmup/compile: per-block + chunk-64 programs, f32 and wire variants
+    for r in (rx, rx_wire):
+        run_streaming(r, iq_np[: 2 * cfg.block_in], controls,
+                      keep_outputs=False, collect_meta=False)
+        run_streaming(r, iq_np[: 64 * cfg.block_in], controls,
                       keep_outputs=False, collect_meta=False,
-                      chunk_blocks=ck)
+                      chunk_blocks=64)
 
-    def timed(collect_meta: bool, chunk: int = 1, passes: int = 3) -> float:
+    def timed(r, collect_meta: bool, chunk: int = 1,
+              passes: int = 3) -> float:
         consumed = [0]
 
         def on_audio(frames):
@@ -67,7 +73,7 @@ def main():
         for _ in range(passes):
             consumed[0] = 0
             t0 = time.time()
-            run_streaming(rx, iq_np, controls, on_audio=on_audio,
+            run_streaming(r, iq_np, controls, on_audio=on_audio,
                           keep_outputs=False, collect_meta=collect_meta,
                           chunk_blocks=chunk)
             d = time.time() - t0
@@ -75,12 +81,13 @@ def main():
             dt = min(dt, d)
         return dt
 
-    for name, meta_on, chunk in (
-            ("fm_sustained_realtime_x", False, 1),
-            ("fm_sustained_meta_realtime_x", True, 1),
-            ("fm_sustained_chunk8_realtime_x", False, 8),
-            ("fm_sustained_chunk64_realtime_x", False, 64)):
-        dt = timed(meta_on, chunk)
+    for name, r, meta_on, chunk in (
+            ("fm_sustained_realtime_x", rx, False, 1),
+            ("fm_sustained_meta_realtime_x", rx, True, 1),
+            ("fm_sustained_chunk64_realtime_x", rx, False, 64),
+            ("fm_sustained_wire_realtime_x", rx_wire, True, 1),
+            ("fm_sustained_chunk64_wire_realtime_x", rx_wire, False, 64)):
+        dt = timed(r, meta_on, chunk)
         sps = nblocks * cfg.block_in / dt
         print(json.dumps({
             "metric": name,
