@@ -119,7 +119,21 @@ def _build_rx_parser(sub):
     p.add_argument("--ckpt-backend", default="npz", choices=["npz", "orbax"],
                    help="checkpoint writer for --save-state (orbax writes a "
                         "directory; --load-state auto-detects)")
-    p.add_argument("--load-state", help="resume from a saved DSP state")
+    p.add_argument("--load-state", help="resume from a saved DSP state "
+                                        "(file, orbax dir, or a --ckpt-dir "
+                                        "— resumes its latest step)")
+    p.add_argument("--ckpt-dir", help="periodic checkpointing: write the "
+                                      "DSP carry every --ckpt-every blocks "
+                                      "into this directory (loop/follow/"
+                                      "--pcm-out runners)")
+    p.add_argument("--ckpt-every", type=int, default=64,
+                   help="blocks between periodic checkpoints (default 64 "
+                        "≈ 3.6 s of signal)")
+    p.add_argument("--ckpt-keep", type=int, default=3,
+                   help="retention: keep the newest N periodic checkpoints")
+    p.add_argument("--ckpt-keep-period", type=int,
+                   help="retention: additionally keep every checkpoint "
+                        "whose block count is a multiple of this")
     p.add_argument("--runner", default="loop", choices=["loop", "scan"],
                    help="block driver: python loop (streaming-shaped) or one "
                         "lax.scan dispatch over the whole capture (fastest)")
@@ -361,6 +375,23 @@ def cmd_rx(args) -> int:
     if args.pcm_out:
         from .io.pcmout import PCMSink
         sink = PCMSink(args.pcm_out, cfg.audio_rate, pace=args.pcm_pace)
+    ckpt_mgr = None
+    on_state = None
+    if args.ckpt_dir:
+        if args.runner == "scan" and not (args.follow or args.pcm_out):
+            raise SystemExit("--ckpt-dir needs a per-block host loop "
+                             "(--runner loop, --follow, or --pcm-out); the "
+                             "single-dispatch scan runner cannot snapshot "
+                             "mid-dispatch")
+        from .runtime.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(
+            args.ckpt_dir, cfg=cfg, backend=args.ckpt_backend,
+            max_to_keep=args.ckpt_keep, keep_period=args.ckpt_keep_period)
+        every = max(1, args.ckpt_every)
+
+        def on_state(blocks_done, state):
+            if blocks_done % every == 0:
+                ckpt_mgr.save(blocks_done, state)
     try:
         with profile_cm:
             if args.follow:
@@ -400,7 +431,8 @@ def cmd_rx(args) -> int:
                         max_blocks=max_blocks,
                         on_audio=sink.write if sink else None,
                         rds_feedback=live_rds.feed if live_rds else None,
-                        controls_update=controls_update)
+                        controls_update=controls_update,
+                        on_state=on_state)
                 finally:
                     src.close()
             elif args.pcm_out:
@@ -410,6 +442,7 @@ def cmd_rx(args) -> int:
                                     rds_feedback=(live_rds.feed if live_rds
                                                   else None),
                                     controls_update=controls_update,
+                                    on_state=on_state,
                                     collect_taps=want_taps)
             elif args.runner == "scan":
                 res = run_offline_scanned(rx, iq, controls,
@@ -421,10 +454,13 @@ def cmd_rx(args) -> int:
                                   init_state=init_state,
                                   rds_feedback=(live_rds.feed if live_rds
                                                 else None),
-                                  controls_update=controls_update)
+                                  controls_update=controls_update,
+                                  on_state=on_state)
     finally:
         if sink is not None:
             sink.close()
+        if ckpt_mgr is not None:
+            ckpt_mgr.close()
     dt = time.time() - t0
     if args.profile:
         print(f"wrote profiler trace to {args.profile}", file=sys.stderr)

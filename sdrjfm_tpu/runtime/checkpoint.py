@@ -113,6 +113,158 @@ def load_state_orbax(path: str, template: Any, cfg=None) -> Tuple[Any, dict]:
     return raw["state"], header.get("extra", {})
 
 
+class CheckpointManager:
+    """Periodic checkpoint writer with retention + async orbax backend.
+
+    The reference never checkpoints DSP state (only QSettings between runs,
+    radio.cpp:466-531); a production streaming receiver wants periodic
+    snapshots so a multi-hour run can resume after preemption.  Semantics
+    follow the orbax CheckpointManager conventions:
+
+      max_to_keep  : keep the newest N checkpoints...
+      keep_period  : ...plus every checkpoint whose step is a multiple of
+                     this (never deleted), e.g. hourly keepers under a
+                     keep-last-3 policy.
+
+    backend='orbax' writes each step through `ocp.AsyncCheckpointer`: the
+    device→host copy happens inline (cheap — the carry is a few hundred KB)
+    and the filesystem write runs in a background thread, so the receive
+    loop is never blocked on IO.  backend='npz' stages the host copy inline
+    and hands the npz write to a single worker thread for the same effect.
+    Call `wait_until_finished()` (or rely on `save`'s internal barrier)
+    before reading a just-written step.
+
+    Layout: `<dir>/ckpt_<step:012d>` — an .npz file or an orbax directory;
+    `restore`/`load_state` auto-detect which.
+    """
+
+    def __init__(self, directory: str, cfg=None, backend: str = "npz",
+                 max_to_keep: int = 3, keep_period: int | None = None,
+                 async_write: bool = True):
+        import os
+        assert backend in ("npz", "orbax"), backend
+        assert max_to_keep >= 1
+        self.directory = os.path.abspath(directory)
+        self.cfg = cfg
+        self.backend = backend
+        self.max_to_keep = max_to_keep
+        self.keep_period = keep_period
+        self._pool = None
+        self._pending = None
+        self._async_ckptr = None
+        if async_write and backend == "npz":
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        os.makedirs(self.directory, exist_ok=True)
+
+    # -- step <-> path ----------------------------------------------------
+    def _path(self, step: int) -> str:
+        import os
+        base = os.path.join(self.directory, f"ckpt_{step:012d}")
+        return base + (".npz" if self.backend == "npz" else "")
+
+    def all_steps(self) -> list[int]:
+        import os
+        import re
+        steps = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"ckpt_(\d{12})(?:\.npz)?", name)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(set(steps))
+
+    def latest_step(self) -> int | None:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    # -- write ------------------------------------------------------------
+    def save(self, step: int, state: Any, extra: dict | None = None) -> str:
+        """Snapshot `state` as checkpoint `step`; returns its path.
+
+        The device→host copy is taken before returning (the state may keep
+        mutating on device); the filesystem write may still be in flight —
+        `wait_until_finished()` barriers it.
+        """
+        self.wait_until_finished()   # serialize: one write in flight
+        path = self._path(step)
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+            if self._async_ckptr is None:
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler())
+            header = {"format_version": FORMAT_VERSION, "step": step}
+            if extra:
+                header["extra"] = extra
+            if self.cfg is not None:
+                header["config_fingerprint"] = config_fingerprint(self.cfg)
+            self._async_ckptr.save(
+                path, {"state": state, "header_json": json.dumps(header)},
+                force=True)
+        else:
+            # host copy now, npz write on the worker thread
+            host = jax.tree_util.tree_map(np.asarray, state)
+            meta = dict(extra or {})
+            meta["step"] = step
+            if self._pool is not None:
+                self._pending = self._pool.submit(
+                    save_state, path, host, meta, self.cfg)
+            else:
+                save_state(path, host, meta, self.cfg)
+        self._retain(in_flight=step)
+        return path
+
+    def wait_until_finished(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
+
+    def _retain(self, in_flight: int | None = None) -> None:
+        """Apply the retention policy: newest max_to_keep survive, plus any
+        step that is a multiple of keep_period.  in_flight: a step whose
+        async write may not be on disk yet — counted as existing (and never
+        deleted, being the newest)."""
+        import os
+        import shutil
+        steps = set(self.all_steps())
+        if in_flight is not None:
+            steps.add(in_flight)
+        steps = sorted(steps)
+        doomed = steps[:-self.max_to_keep] if self.max_to_keep else []
+        for s in doomed:
+            if self.keep_period and s and s % self.keep_period == 0:
+                continue
+            p = self._path(s)
+            # an orbax write for a *newer* step may be in flight; deleting
+            # an older complete step is safe
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+
+    # -- read -------------------------------------------------------------
+    def restore(self, template: Any, step: int | None = None
+                ) -> Tuple[Any, dict]:
+        """Load checkpoint `step` (default: latest).  Returns (state, extra)
+        like `load_state`."""
+        self.wait_until_finished()
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                raise CheckpointError(
+                    f"no checkpoints under {self.directory}")
+        return load_state(self._path(step), template, cfg=self.cfg)
+
+    def close(self) -> None:
+        self.wait_until_finished()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+        if self._async_ckptr is not None:
+            self._async_ckptr.close()
+            self._async_ckptr = None
+
+
 def load_state(path: str, template: Any, cfg=None) -> Tuple[Any, dict]:
     """Restore a state pytree using `template` (e.g. rx.init_state()) for
     structure/dtype; returns (state, metadata).
@@ -121,8 +273,18 @@ def load_state(path: str, template: Any, cfg=None) -> Tuple[Any, dict]:
     Directories are dispatched to the orbax backend automatically.
     """
     import os
+    import re
     if os.path.isdir(path):
-        return load_state_orbax(path, template, cfg=cfg)
+        # a CheckpointManager directory (ckpt_<step> entries) resolves to
+        # its latest step; otherwise the dir IS an orbax checkpoint
+        entries = sorted(n for n in os.listdir(path)
+                         if re.fullmatch(r"ckpt_(\d{12})(?:\.npz)?", n))
+        if entries:
+            path = os.path.join(path, entries[-1])
+            if not os.path.isdir(path):
+                return load_state(path, template, cfg=cfg)
+        if os.path.isdir(path):
+            return load_state_orbax(path, template, cfg=cfg)
     data = np.load(path)
     raw = json.loads(bytes(data["__meta__"].tobytes()).decode() or "{}")
     # v0 checkpoints stored the extra dict directly (no header)

@@ -156,7 +156,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                   collect_meta: bool = True,
                   chunk_blocks: int = 1,
                   rds_feedback=None,
-                  controls_update=None) -> StreamResult:
+                  controls_update=None,
+                  on_state=None) -> StreamResult:
     """Streaming block driver: per-block callbacks + double-buffered input.
 
     Block k+1's host→device transfer is issued (async `jax.device_put`)
@@ -197,10 +198,16 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     (decoder-3 bit-clock resync, rds-decoder-3.cpp:94-99; AFC,
     radio.cpp:1786-1809) — per-block path only (chunked dispatches can't
     react inside a chunk).
+
+    on_state(blocks_done, state) fires after each block with the carry the
+    *next* block will consume (post-resync) — the periodic-checkpoint hook
+    (runtime.checkpoint.CheckpointManager): resuming run_streaming with
+    init_state=that carry on the remaining blocks is bit-identical.
     """
     if chunk_blocks > 1:
         assert not collect_taps, "taps need the per-block path"
-        assert rds_feedback is None and controls_update is None, \
+        assert rds_feedback is None and controls_update is None \
+            and on_state is None, \
             "per-block host feedback needs chunk_blocks=1"
         return _run_streaming_chunked(rx, iq, controls, init_state,
                                       on_audio, on_meta, on_rds_bits,
@@ -247,6 +254,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
             controls = controls_update(controls, meta) or controls
+        if on_state is not None:
+            on_state(b + 1, state)
         if meta is not None:
             metas.append(meta)
         if keep_outputs:
@@ -366,6 +375,7 @@ def run_live(rx: Receiver, source,
              keep_outputs: bool = True,
              rds_feedback=None,
              controls_update=None,
+             on_state=None,
              timeout_ms: int = 30_000) -> StreamResult:
     """Live block driver: pull paced blocks from a streaming Source's ring.
 
@@ -388,6 +398,9 @@ def run_live(rx: Receiver, source,
     (Receiver.request_rds_resync — the decoder-3 resync contract,
     rds-decoder-3.cpp:94-99).  The source's wire format must match
     rx.cfg.iq_format (NativeWavSource -> 'c64', NativeRawSource -> its fmt).
+
+    on_state(blocks_done, state): periodic-checkpoint hook, same contract
+    as run_streaming's.
     """
     cfg = rx.cfg
     controls = controls or default_controls()
@@ -426,6 +439,8 @@ def run_live(rx: Receiver, source,
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
             controls = controls_update(controls, meta) or controls
+        if on_state is not None:
+            on_state(b + 1, state)
         metas.append(meta)
         if keep_outputs:
             audio_acc.append(frames)
@@ -451,7 +466,8 @@ def run_offline(rx: Receiver, iq: np.ndarray,
                 collect_taps: bool = False,
                 init_state=None,
                 rds_feedback=None,
-                controls_update=None) -> StreamResult:
+                controls_update=None,
+                on_state=None) -> StreamResult:
     """Process a full IQ array through the receiver, block by block.
 
     drop_blocks: number of leading blocks to exclude from the result (filter
@@ -486,6 +502,8 @@ def run_offline(rx: Receiver, iq: np.ndarray,
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
             controls = controls_update(controls, meta) or controls
+        if on_state is not None:
+            on_state(b + 1, state)
         if b < drop_blocks:
             continue
         audio.append(np.asarray(out.audio))
