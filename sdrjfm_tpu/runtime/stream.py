@@ -146,6 +146,24 @@ def run_offline_scanned(rx: Receiver, iq: np.ndarray,
     return res
 
 
+def _prefetch_outputs(out, meta: bool = True, rds_iq: bool = True) -> None:
+    """Kick off async device→host copies for every output the block loop
+    will read, so the transfers drain while the host stages the next block
+    (run_streaming) or waits on the ring (run_live) instead of serializing
+    inside np.asarray.  No-op on buffers without the method (CPU arrays)."""
+    arrs = [out.audio_i16 if out.audio_i16 is not None else out.audio]
+    if meta:
+        arrs.append(out.meta_vec)
+    if out.rds is not None:
+        arrs.append(out.rds.bits)
+        if rds_iq:
+            arrs.append(out.rds.iq)
+    for a in arrs:
+        copy = getattr(a, "copy_to_host_async", None)
+        if copy is not None:
+            copy()
+
+
 def run_streaming(rx: Receiver, iq: np.ndarray,
                   controls: Optional[Controls] = None,
                   init_state=None,
@@ -233,6 +251,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
         if b < drop_blocks:
             jax.block_until_ready(out.audio)
             continue
+        _prefetch_outputs(out)       # D2H starts as compute drains
         frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
                             else out.audio)
         meta = n = None
@@ -324,6 +343,8 @@ def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
         nxt = lo + cur_k
         if nxt < nblocks:          # stage the next chunk while this computes
             dev = stage(nxt, min(chunk_blocks, nblocks - nxt))
+        # whole-chunk D2H drains behind compute
+        _prefetch_outputs(outs, meta=want_meta, rds_iq=keep_outputs)
         audio = np.asarray(outs.audio_i16 if outs.audio_i16 is not None
                            else outs.audio)                 # [cur_k, Ta, 2]
         mv_np = np.asarray(outs.meta_vec) if want_meta else None
@@ -416,6 +437,7 @@ def run_live(rx: Receiver, source,
     while len(blk_np) == T and (max_blocks is None or b < max_blocks):
         state, out = step(state, controls,
                           jax.device_put(jnp.asarray(blk_np, wire)))
+        _prefetch_outputs(out)       # D2H overlaps the ring wait below
         # pre-read the next block from the ring while the device computes
         blk_np = source.read_block(T, timeout_ms)
         frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
