@@ -167,13 +167,39 @@ def _build_rx_parser(sub):
                                      "run into this directory (TensorBoard/"
                                      "xprof format; the reference had only "
                                      "a CPU-percent meter, radio.cpp:1222)")
+    p.add_argument("--control",
+                   help="runtime control channel: '-' reads commands from "
+                        "stdin, a FIFO path reads lines written to it, any "
+                        "other path becomes a unix socket server. Commands "
+                        "(tune/volume/balance/mute/squelch/afc/gain/agc/ppm/"
+                        "status/quit) are serviced between blocks — the "
+                        "reference's live GUI control surface "
+                        "(radio.cpp:1040-1075, :1366+). Needs a per-block "
+                        "runner (loop/--pcm-out/--follow)")
+    p.add_argument("--gain", type=int,
+                   help="rtl_tcp: manual tuner gain in tenths of dB "
+                        "(implies manual gain mode; rtlsdr-handler.cpp "
+                        "gain plumbing)")
+    p.add_argument("--agc", action="store_true",
+                   help="rtl_tcp: enable the tuner AGC (opcode 0x08)")
+    p.add_argument("--ppm", type=int,
+                   help="rtl_tcp: frequency correction in ppm (opcode 0x05)")
+    p.add_argument("--reconnect-timeout", type=float, default=0.0,
+                   help="rtl_tcp: if the server drops mid-run, retry with "
+                        "backoff for up to this many seconds, replay the "
+                        "device settings, and resume (outage counted as "
+                        "drops); 0 disables")
 
 
 def _build_scan_parser(sub):
-    p = sub.add_parser("scan", help="band-scan a capture, identify stations")
+    p = sub.add_parser("scan", help="band-scan a capture or a live rtl_tcp "
+                                    "device, identify stations")
     p.add_argument("--iq", required=True,
-                   help="IQ capture: wav, or a headerless raw file "
-                        "(rtl_sdr/hackrf convention; needs --iq-format)")
+                   help="IQ capture: wav, a headerless raw file "
+                        "(rtl_sdr/hackrf convention; needs --iq-format), or "
+                        "a live rtl_tcp://host:port device — that sweeps "
+                        "the hardware across the whole FM band "
+                        "(radio.cpp:1115-1158)")
     p.add_argument("--iq-format", default="auto",
                    choices=["auto", "c64", "i16", "u8"],
                    help="raw-capture wire format (wav inputs: auto)")
@@ -187,6 +213,17 @@ def _build_scan_parser(sub):
                    help="capture seconds to demodulate per station")
     p.add_argument("--stations", help="write/update a station list JSON")
     p.add_argument("--block-fm", type=int, default=32768)
+    p.add_argument("--scan-blocks", type=int, default=4,
+                   help="blocks averaged per decision (clearAverage depth, "
+                        "fm-processor.cpp:480-495; a station flickering in "
+                        "one block is not a hit)")
+    p.add_argument("--band-start", type=float, default=87.5,
+                   help="rtl_tcp sweep start in MHz")
+    p.add_argument("--band-stop", type=float, default=108.0,
+                   help="rtl_tcp sweep stop in MHz")
+    p.add_argument("--settle-ms", type=int, default=30,
+                   help="rtl_tcp: stale-sample discard after each hardware "
+                        "retune (tuner PLL settle)")
 
 
 def _build_synth_parser(sub):
@@ -219,6 +256,11 @@ def cmd_rx(args) -> int:
     iq = None
     is_rtltcp = args.iq.startswith(("rtl_tcp://", "rtltcp://"))
     is_pipe = args.iq == "-" or _is_fifo(args.iq)
+    if (args.gain is not None or args.agc or args.ppm is not None
+            or args.reconnect_timeout) and not is_rtltcp:
+        print("--gain/--agc/--ppm/--reconnect-timeout control an rtl_tcp "
+              "device; pass --iq rtl_tcp://host:port", file=sys.stderr)
+        return 2
     is_wav = False if (is_rtltcp or is_pipe) else is_riff(args.iq)
     if is_rtltcp:
         # live network SDR: u8 stream over the native ring (streaming only)
@@ -284,6 +326,11 @@ def cmd_rx(args) -> int:
             and not args.pcm_out:
         print("--afc closes a per-block host loop; use --runner loop, "
               "--pcm-out, or --follow", file=sys.stderr)
+        return 2
+    if args.control and args.runner == "scan" and not (args.follow
+                                                       or args.pcm_out):
+        print("--control services commands between blocks; use --runner "
+              "loop, --pcm-out, or --follow", file=sys.stderr)
         return 2
     # setBandwidth semantics: 'off' disables the channel filter, a number
     # (re)designs it at that bandwidth and turns it on
@@ -362,7 +409,7 @@ def cmd_rx(args) -> int:
     from .rds.live import LiveRDSDecoder
     live_rds = LiveRDSDecoder(pty_locale=args.pty_locale) if args.rds else None
     controls_update = None
-    if args.afc:
+    if args.afc and not args.control:
         from .models.tuner import AFCTracker
         _afc = AFCTracker(cfg.fm_rate)
         _base_lo = int(args.freq_offset)
@@ -371,6 +418,18 @@ def cmd_rx(args) -> int:
             off = _afc.update(meta["dc_if"])
             return ctl._replace(lo_freq_hz=jnp.asarray(
                 int(round(_base_lo + off)), jnp.int32))
+    ctl_channel = ctl_proc = command_hook = dev_info = None
+    if args.control:
+        from .runtime.control import ControlChannel, CommandProcessor
+        ctl_channel = ControlChannel(args.control)
+        ctl_proc = CommandProcessor(
+            rx, ctl_channel, lo_hz=args.freq_offset,
+            afc_active=args.afc,
+            on_retune=(live_rds.reset if live_rds else None),
+            meta_provider=(lambda: {"rds": live_rds.report()})
+            if live_rds else None)
+        ctl_proc.seed_from(controls)
+        command_hook = ctl_proc.apply
     sink = None
     if args.pcm_out:
         from .io.pcmout import PCMSink
@@ -405,10 +464,27 @@ def cmd_rx(args) -> int:
                 if is_rtltcp:
                     hostport = args.iq.split("://", 1)[1]
                     host, _, port = hostport.partition(":")
-                    src = RtlTcpSource(host, int(port or 1234),
-                                       rate=C.INPUT_RATE)
+                    src = RtlTcpSource(
+                        host, int(port or 1234), rate=C.INPUT_RATE,
+                        reconnect_timeout_ms=int(args.reconnect_timeout
+                                                 * 1000))
+                    # settings in the rtlsdr-handler's order: ppm, gain
+                    # mode/gain, AGC, then the frequency
+                    # (rtlsdr-handler.cpp:102-116)
+                    if args.ppm is not None:
+                        src.set_freq_correction(args.ppm)
+                    if args.gain is not None:
+                        src.set_gain_mode(True)
+                        src.set_gain(args.gain)
+                    if args.agc:
+                        src.set_agc(True)
+                        src.set_gain_mode(False)
                     if args.tune_hz:
                         src.set_frequency(args.tune_hz)
+                    if ctl_proc is not None:
+                        ctl_proc.source = src
+                        if args.tune_hz:
+                            ctl_proc.center_hz = int(args.tune_hz)
                 elif is_pipe:
                     src = NativePipeSource(args.iq, fmt=iq_fmt,
                                            rate=C.INPUT_RATE)
@@ -432,7 +508,12 @@ def cmd_rx(args) -> int:
                         on_audio=sink.write if sink else None,
                         rds_feedback=live_rds.feed if live_rds else None,
                         controls_update=controls_update,
+                        command_hook=command_hook,
                         on_state=on_state)
+                    if is_rtltcp:
+                        dev_info = {"tuner_type": src.tuner_type,
+                                    "tuner_gain_count": src.tuner_gain_count,
+                                    "reconnects": src.reconnects}
                 finally:
                     src.close()
             elif args.pcm_out:
@@ -442,6 +523,7 @@ def cmd_rx(args) -> int:
                                     rds_feedback=(live_rds.feed if live_rds
                                                   else None),
                                     controls_update=controls_update,
+                                    command_hook=command_hook,
                                     on_state=on_state,
                                     collect_taps=want_taps)
             elif args.runner == "scan":
@@ -455,12 +537,15 @@ def cmd_rx(args) -> int:
                                   rds_feedback=(live_rds.feed if live_rds
                                                 else None),
                                   controls_update=controls_update,
+                                  command_hook=command_hook,
                                   on_state=on_state)
     finally:
         if sink is not None:
             sink.close()
         if ckpt_mgr is not None:
             ckpt_mgr.close()
+        if ctl_channel is not None:
+            ctl_channel.close()
     dt = time.time() - t0
     if args.profile:
         print(f"wrote profiler trace to {args.profile}", file=sys.stderr)
@@ -485,6 +570,16 @@ def cmd_rx(args) -> int:
     }
     if args.follow:
         report["ingest_dropped"] = res.dropped_total
+    if dev_info is not None:
+        report["device"] = dev_info
+    if ctl_proc is not None:
+        report["control"] = {"commands": ctl_proc.commands_handled,
+                             "retunes": ctl_proc.retunes,
+                             "hw_retunes": ctl_proc.hw_retunes,
+                             "final_lo_hz": ctl_proc.lo_hz}
+        if ctl_proc.center_hz is not None:
+            report["control"]["tuned_hz"] = (ctl_proc.center_hz
+                                             + ctl_proc.lo_hz)
     if args.rds and live_rds is not None:
         fed_incrementally = (args.follow or args.pcm_out
                              or args.runner != "scan")
@@ -572,15 +667,47 @@ def cmd_rx(args) -> int:
 
 def cmd_scan(args) -> int:
     import numpy as np
-    import jax.numpy as jnp
     from . import constants as C
     from .io.wavio import read_iq_wav
+    from .models.bandscan import raw_to_c64, scan_band, scan_capture
     from .models.receiver import Receiver, ReceiverConfig
-    from .models.tuner import RadioController
     from .rds.blocksync import BlockSynchronizer, Group
     from .rds.groups import GroupDecoder
 
     from .io.wavio import is_riff, read_iq_raw
+    if args.iq.startswith(("rtl_tcp://", "rtltcp://")):
+        # full-band hardware sweep: step the dongle across the raster and
+        # decide every channel of each stop in one vmapped dispatch
+        from .runtime.native_source import RtlTcpSource
+        hostport = args.iq.split("://", 1)[1]
+        host, _, port = hostport.partition(":")
+        rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
+        src = RtlTcpSource(host, int(port or 1234), rate=C.INPUT_RATE)
+        src.start()
+        try:
+            hits = scan_band(
+                rx, src, f_start=int(args.band_start * 1e6),
+                f_stop=int(args.band_stop * 1e6), grid_hz=args.grid,
+                threshold_db=args.threshold, blocks=args.scan_blocks,
+                settle_ms=args.settle_ms,
+                identify_seconds=args.seconds if args.identify else 0.0,
+                log=lambda m: print(m, file=sys.stderr))
+        finally:
+            src.close()
+        for e in hits:
+            print(f"  {e['freq_hz'] / 1e6:.1f} MHz: {e}", file=sys.stderr)
+        if args.stations:
+            from .io.stations import StationList
+            sl = StationList.load(args.stations)
+            for e in hits:
+                if e.get("station"):
+                    sl.add(e["station"], e["freq_hz"],
+                           pi_code=int(e["pi_code"], 16), pty=e.get("pty"))
+            sl.save(args.stations)
+            print(f"wrote {args.stations}", file=sys.stderr)
+        json.dump({"hits": hits}, sys.stdout, indent=2)
+        print()
+        return 0
     if is_riff(args.iq):
         iq, rate = read_iq_wav(args.iq)
     else:
@@ -591,25 +718,21 @@ def cmd_scan(args) -> int:
             print("raw (non-wav) capture: pass --iq-format u8 or i16",
                   file=sys.stderr)
             return 2
-        raw = read_iq_raw(args.iq, args.iq_format)
-        if args.iq_format == "u8":
-            iq = (((raw[:, 0].astype(np.float32) - 127.0)
-                   + 1j * (raw[:, 1].astype(np.float32) - 127.0)) / 128.0
-                  ).astype(np.complex64)
-        else:
-            iq = ((raw[:, 0].astype(np.float32)
-                   + 1j * raw[:, 1].astype(np.float32)) / 32768.0
-                  ).astype(np.complex64)
+        iq = raw_to_c64(read_iq_raw(args.iq, args.iq_format),
+                        args.iq_format)
         rate = C.INPUT_RATE
-    rc = RadioController(Receiver(ReceiverConfig(block_fm=args.block_fm,
-                                                 rds="off")))
-    T = rc.rx.cfg.block_in
+    rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
+    T = rx.cfg.block_in
     if len(iq) < T:
         print(f"capture too short: need {T} samples", file=sys.stderr)
         return 1
-    found = rc.scan(iq[:T], grid_hz=args.grid, threshold_db=args.threshold)
+    # decision averaged over blocks spread across the capture (clearAverage
+    # depth, fm-processor.cpp:480-495) — not just the first block
+    results = scan_capture(rx, iq, grid_hz=args.grid,
+                           threshold_db=args.threshold,
+                           max_blocks=args.scan_blocks)
+    found = [e["offset_hz"] for e in results]
     print(f"scan: {len(found)} hit(s) at offsets {found}", file=sys.stderr)
-    results = [{"offset_hz": off} for off in found]
     if args.identify and found:
         # ALL hits demodulate in one vmapped dispatch (models/multistation —
         # the reference identifies serially, one retune at a time)

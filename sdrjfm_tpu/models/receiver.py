@@ -855,5 +855,18 @@ class Receiver:
             bitrec=state.bitrec._replace(need_resync=jnp.asarray(True)))
 
     # ------------------------------------------------------------------
+    def retune_reset(self, state: ReceiverState) -> ReceiverState:
+        """triggerFrequencyChange (fm-processor.cpp:849-855): a >=100 kHz
+        retune fires the audio mute ramp, resets the PSS adaptation, and
+        resets the RDS bit decoder.  Functional form shared by the
+        RadioController and the runtime control channel."""
+        s = state._replace(
+            ramp_remaining=jnp.asarray(self.cfg.working_rate // 2, jnp.int32),
+            pss=pss_zero_state(self.pss_cfg))
+        if s.bitrec is not None:
+            s = s._replace(bitrec=self._bitrec_zero_state())
+        return s
+
+    # ------------------------------------------------------------------
     def jit_step(self):
         return jax.jit(self.step)

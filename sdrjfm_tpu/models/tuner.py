@@ -28,11 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from .receiver import Controls, Receiver, ReceiverState, default_controls
+from .receiver import Controls, Receiver, default_controls
 from .scanner import scan_decision
-from ..ops import blockops as B
-from ..ops.pss import pss_zero_state
-from ..rds.bitrecovery import bitrecovery_zero_state
+
 
 
 class AFCTracker:
@@ -101,14 +99,7 @@ class RadioController:
 
     def trigger_frequency_change(self):
         """Audio mute ramp + RDS/PSS reset (fm-processor.cpp:849-855)."""
-        s = self.state
-        s = s._replace(
-            ramp_remaining=jnp.asarray(self.rx.cfg.working_rate // 2,
-                                       jnp.int32),
-            pss=pss_zero_state(self.rx.pss_cfg))
-        if s.bitrec is not None:
-            s = s._replace(bitrec=self.rx._bitrec_zero_state())
-        self.state = s
+        self.state = self.rx.retune_reset(self.state)
 
     # -- processing with AFC -------------------------------------------
     def process_block(self, iq_block):

@@ -30,6 +30,17 @@ class LiveRDSDecoder:
         self.group = Group()
         self.resync_threshold = resync_threshold
         self.resyncs_requested = 0
+        self._pty_locale = pty_locale
+        self._on_update = on_update
+
+    def reset(self) -> None:
+        """Fresh sync + group state after a retune (the reference resets the
+        whole RDS stack on a frequency change, fm-processor.cpp:849-855 ->
+        rds-decoder reset); resync accounting survives for the report."""
+        self.sync = BlockSynchronizer()
+        self.decoder = GroupDecoder(pty_locale=self._pty_locale,
+                                    on_update=self._on_update)
+        self.group = Group()
 
     def feed(self, bits) -> bool:
         """Push one block's bits; True = the bit decoder should re-acquire."""

@@ -1,0 +1,481 @@
+"""Runtime control channel — interactive control of a running receiver.
+
+The reference is an *interactive* radio: ~70 GUI slots retune, change
+volume/balance/squelch, toggle AFC, and scan while the engine thread keeps
+processing (radio.cpp:1040-1075 setTuner, :1366+ localConnects;
+fm-processor.cpp:849-855 retune resets).  This module is that control
+surface for the block pipeline: a line-oriented command endpoint (stdin, a
+FIFO, or a unix socket) serviced between blocks through the runners'
+`command_hook`, so a live `rx --follow` can be driven while receiving —
+no recompile, because every control lands either in the traced `Controls`
+pytree or in a carry-state reset.
+
+Wire protocol (one command per line; responses are JSON lines):
+
+    tune <hz>        retune.  With a hardware source (rtl_tcp) <hz> is the
+                     absolute station frequency: inside the current capture
+                     window it becomes an LO offset; outside, the dongle is
+                     retuned (setVFOFrequency) and the LO rebased — exactly
+                     radio.cpp:1040-1075.  With a file capture <hz> is the
+                     LO offset inside the window.
+    volume <db>      gain in dB (setVolume)
+    balance <n>      -100..100 (setSoundBalance)
+    mute on|off      mute/unmute (mute ramp on unmute transitions)
+    squelch <n>      squelch slider 0..100 (setSquelchValue)
+    afc on|off       per-block AFC loop (radio.cpp:1786-1809)
+    gain <tenth_db>  rtl_tcp manual tuner gain (implies gain mode manual)
+    agc on|off       rtl_tcp tuner AGC
+    ppm <n>          rtl_tcp frequency correction (opcode 0x05)
+    status           respond with the current tuning/controls/meta/RDS state
+    quit             stop the run cleanly
+
+Commands mutate three things, mirroring the reference's control paths:
+traced Controls (LO/volume/balance/squelch — setTuner-inside-window,
+radio.cpp:1056-1066), carry-state resets via Receiver.retune_reset
+(triggerFrequencyChange, fm-processor.cpp:849-855), and the hardware
+control plane of a live source (RtlTcpSource command frames — the
+rtlsdr-handler's librtlsdr calls, rtlsdr-handler.cpp:102-116).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import socket
+import stat
+import sys
+import threading
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..models.tuner import AFCTracker
+
+
+class ControlChannel:
+    """Line source + response sink over stdin ('-'), a FIFO, or a unix
+    socket path (created; multiple sequential clients supported).
+
+    A reader thread feeds complete lines into a queue; `poll()` drains it
+    non-blockingly between blocks (the engine-thread analogue of Qt's
+    queued control signals, fm-processor.cpp:397-413 deferred swaps).
+    Responses go back to the connected socket client, or to stderr for
+    stdin/FIFO channels (stdout may carry PCM or the report).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._q: "queue.Queue[str]" = queue.Queue()
+        self._stop = threading.Event()
+        self._conn = None           # current socket client (if socket mode)
+        self._conn_lock = threading.Lock()
+        self._srv = None
+        self._fifo = None
+        if path == "-":
+            self.mode = "stdin"
+            self._thread = threading.Thread(target=self._read_stdin,
+                                            daemon=True)
+        elif os.path.exists(path) and stat.S_ISFIFO(os.stat(path).st_mode):
+            self.mode = "fifo"
+            # O_RDWR keeps a writer open so reads never hit EOF between
+            # successive `echo cmd > fifo` writers; raw fd + select so
+            # close() never contends a buffered-reader lock with the
+            # blocked reader thread (that deadlocks)
+            self._fifo = os.open(path, os.O_RDWR)
+            self._thread = threading.Thread(target=self._read_fifo,
+                                            daemon=True)
+        else:
+            self.mode = "socket"
+            if os.path.exists(path):
+                st = os.stat(path)
+                if not stat.S_ISSOCK(st.st_mode):
+                    raise ValueError(
+                        f"--control {path}: exists and is not a FIFO or "
+                        "socket")
+                os.unlink(path)
+            self._srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._srv.bind(path)
+            self._srv.listen(1)
+            self._srv.settimeout(0.25)
+            self._thread = threading.Thread(target=self._serve_socket,
+                                            daemon=True)
+        self._thread.start()
+
+    # -- readers --------------------------------------------------------
+    def _read_stdin(self):
+        for line in sys.stdin:
+            if self._stop.is_set():
+                return
+            line = line.strip()
+            if line:
+                self._q.put(line)
+
+    def _read_fifo(self):
+        import select
+        fd = self._fifo                       # close() nulls the attribute
+        buf = b""
+        while not self._stop.is_set():
+            try:
+                r, _, _ = select.select([fd], [], [], 0.25)
+            except (OSError, ValueError):     # fd closed by close()
+                return
+            if not r:
+                continue
+            try:
+                data = os.read(fd, 4096)
+            except OSError:
+                return
+            if not data:
+                return
+            buf += data
+            while b"\n" in buf:
+                raw, buf = buf.split(b"\n", 1)
+                line = raw.decode("utf-8", "replace").strip()
+                if line:
+                    self._q.put(line)
+
+    def _serve_socket(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            with self._conn_lock:
+                self._conn = conn
+            buf = b""
+            conn.settimeout(0.25)
+            while not self._stop.is_set():
+                try:
+                    data = conn.recv(4096)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                if not data:
+                    break
+                buf += data
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    line = line.decode("utf-8", "replace").strip()
+                    if line:
+                        self._q.put(line)
+            with self._conn_lock:
+                if self._conn is conn:
+                    self._conn = None
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    # -- API ------------------------------------------------------------
+    def poll(self) -> list:
+        """Drain pending command lines (non-blocking)."""
+        out = []
+        while True:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                return out
+
+    def respond(self, obj) -> None:
+        """One JSON line back to the client (socket) or stderr."""
+        line = (json.dumps(obj) + "\n").encode()
+        with self._conn_lock:
+            conn = self._conn
+        if conn is not None:
+            try:
+                conn.sendall(line)
+                return
+            except OSError:
+                pass
+        sys.stderr.write(line.decode())
+        sys.stderr.flush()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._srv is not None:
+            try:
+                self._srv.close()
+            except OSError:
+                pass
+            if os.path.exists(self.path):
+                try:
+                    os.unlink(self.path)
+                except OSError:
+                    pass
+        if self._fifo is not None:
+            try:
+                os.close(self._fifo)
+            except OSError:
+                pass
+            self._fifo = None
+        with self._conn_lock:
+            if self._conn is not None:
+                try:
+                    self._conn.close()
+                except OSError:
+                    pass
+                self._conn = None
+
+
+class CommandProcessor:
+    """Applies control-channel commands between blocks.
+
+    Install `apply` as the runners' `command_hook`: it drains the channel,
+    updates the traced Controls / carry state / hardware, runs the AFC
+    tick, and returns (state, controls, stop).
+
+    Tuning model (radio.cpp:1040-1075): `center_hz` is the hardware VFO
+    (None for file captures), `lo_hz` the digital LO offset; the capture
+    window is |lo| <= inputRate/2 - fmRate.  `tune` inside the window moves
+    only the LO (traced — no recompile, no stream break); outside it, a
+    retunable source gets a setVFOFrequency and the LO rebases to 0.  Any
+    >=100 kHz effective step fires Receiver.retune_reset (mute ramp +
+    PSS/RDS resets, fm-processor.cpp:849-855) and resets the host RDS
+    stack via `on_retune`.
+
+    The AFC loop (radio.cpp:1786-1809) accumulates into `lo_hz` directly
+    — and, like the reference's AFC-through-setTuner, when the corrected
+    offset leaves the window on a retunable source the *hardware* is
+    stepped and the LO rebased, so AFC really drives the front end.
+    """
+
+    def __init__(self, rx, channel: Optional[ControlChannel] = None, *,
+                 lo_hz: int = 0, center_hz: Optional[int] = None,
+                 source=None, afc_active: bool = False,
+                 on_retune: Optional[Callable[[], None]] = None,
+                 meta_provider: Optional[Callable[[], dict]] = None):
+        self.rx = rx
+        self.channel = channel
+        self.lo_hz = int(lo_hz)
+        self.center_hz = int(center_hz) if center_hz is not None else None
+        self.source = source
+        self.on_retune = on_retune
+        self.meta_provider = meta_provider
+        self.afc = AFCTracker(rx.cfg.fm_rate)
+        self.afc_active = bool(afc_active)
+        self.volume_db = 0.0
+        self.balance = 0
+        self.muted = False
+        self.squelch_level = None     # None = leave the CLI value alone
+        self.commands_handled = 0
+        self.retunes = 0
+        self.hw_retunes = 0
+        self._last_meta: dict = {}
+
+    # window rule: radio.cpp:1048
+    @property
+    def max_offset(self) -> int:
+        return self.rx.cfg.input_rate // 2 - self.rx.cfg.fm_rate
+
+    # -- controls assembly ---------------------------------------------
+    def _controls(self, controls):
+        vol = 0.0 if self.muted else 10.0 ** (self.volume_db / 20.0)
+        b = self.balance
+        lg = (100 - b) / 100.0 if b > 0 else 1.0
+        rg = (100 + b) / 100.0 if b < 0 else 1.0
+        lo = int(round(self.lo_hz + self.afc.offset))
+        controls = controls._replace(
+            lo_freq_hz=jnp.asarray(lo, jnp.int32),
+            volume=jnp.asarray(vol, jnp.float32),
+            left_gain=jnp.asarray(lg, jnp.float32),
+            right_gain=jnp.asarray(rg, jnp.float32))
+        if self.squelch_level is not None:
+            controls = controls._replace(
+                squelch_level=jnp.asarray(self.squelch_level, jnp.float32))
+        return controls
+
+    def seed_from(self, controls) -> None:
+        """Adopt the CLI's starting volume/balance so `status` and later
+        relative edits reflect what the run actually started with."""
+        v = float(np.asarray(controls.volume))
+        self.volume_db = -120.0 if v <= 0 else 20.0 * float(np.log10(v))
+        lg = float(np.asarray(controls.left_gain))
+        rg = float(np.asarray(controls.right_gain))
+        if lg < 1.0:
+            self.balance = int(round(100 - lg * 100))
+        elif rg < 1.0:
+            self.balance = -int(round(100 - rg * 100))
+
+    # -- tuning ----------------------------------------------------------
+    def _retune_hw(self, new_center: int):
+        self.source.set_frequency(int(new_center))
+        self.center_hz = int(new_center)
+        self.hw_retunes += 1
+        flush = getattr(self.source, "flush", None)
+        if flush is not None:
+            flush()                  # drop stale pre-retune ring content
+
+    def tune(self, hz: int, state):
+        """setTuner semantics; returns (state, response_dict)."""
+        hz = int(hz)
+        if self.center_hz is not None:
+            prev_eff = self.center_hz + self.lo_hz
+            off = hz - self.center_hz
+            if abs(off) > self.max_offset:
+                if self.source is None or \
+                        not hasattr(self.source, "set_frequency"):
+                    return state, {"error": f"offset {off} outside window "
+                                            f"±{self.max_offset} and "
+                                            "source is not retunable"}
+                self._retune_hw(hz)
+                self.lo_hz = 0
+            else:
+                self.lo_hz = off
+            big = abs(hz - prev_eff) >= 100_000
+            tuned = {"tuned_hz": hz, "center_hz": self.center_hz,
+                     "lo_hz": self.lo_hz}
+        else:
+            if abs(hz) > self.max_offset:
+                return state, {"error": f"offset {hz} outside capture "
+                                        f"window ±{self.max_offset}"}
+            big = abs(hz - self.lo_hz) >= 100_000
+            self.lo_hz = hz
+            tuned = {"lo_hz": self.lo_hz}
+        self.afc.reset()
+        self.retunes += 1
+        if big:
+            state = self.rx.retune_reset(state)
+            if self.on_retune is not None:
+                self.on_retune()
+            tuned["retune_reset"] = True
+        return state, tuned
+
+    # -- the hook ---------------------------------------------------------
+    def apply(self, state, controls, meta):
+        """Runner hook: service commands + AFC; returns
+        (state, controls, stop)."""
+        if meta:
+            self._last_meta = meta
+        stop = False
+        dirty = False
+        for line in (self.channel.poll() if self.channel else []):
+            self.commands_handled += 1
+            resp = self._dispatch(line, state)
+            if isinstance(resp, tuple):       # (state, resp) from tune
+                state, resp = resp
+            if resp is STOP:
+                stop = True
+                resp = {"ok": "stopping"}
+            if self.channel is not None and resp is not None:
+                self.channel.respond(resp)
+            dirty = True
+        if self.afc_active and meta and "dc_if" in meta:
+            before = self.afc.offset
+            self.afc.update(meta["dc_if"])
+            if self.afc.offset != before:
+                dirty = True
+            # AFC drives the hardware: when the corrected offset leaves the
+            # window, step the front end and rebase (the reference's AFC
+            # feeds setTuner, radio.cpp:1786-1809 -> :1040-1075)
+            if self.center_hz is not None and self.source is not None and \
+                    hasattr(self.source, "set_frequency"):
+                eff = self.lo_hz + self.afc.offset
+                if abs(eff) > self.max_offset:
+                    self._retune_hw(int(round(self.center_hz + eff)))
+                    self.lo_hz = 0
+                    self.afc.reset()
+        if dirty:
+            controls = self._controls(controls)
+        return state, controls, stop
+
+    # -- dispatch ---------------------------------------------------------
+    def _dispatch(self, line: str, state):
+        parts = line.split()
+        cmd, args = parts[0].lower(), parts[1:]
+        try:
+            if cmd == "tune" and len(args) == 1:
+                st, resp = self.tune(self._parse_hz(args[0]), state)
+                return st, resp
+            if cmd == "volume" and len(args) == 1:
+                self.volume_db = float(args[0])
+                return {"ok": "volume", "db": self.volume_db}
+            if cmd == "balance" and len(args) == 1:
+                self.balance = max(-100, min(100, int(args[0])))
+                return {"ok": "balance", "balance": self.balance}
+            if cmd == "mute" and len(args) == 1:
+                self.muted = args[0].lower() in ("on", "1", "true")
+                return {"ok": "mute", "muted": self.muted}
+            if cmd == "squelch" and len(args) == 1:
+                self.squelch_level = max(0.0, min(100.0, float(args[0])))
+                return {"ok": "squelch", "level": self.squelch_level}
+            if cmd == "afc" and len(args) == 1:
+                self.afc_active = args[0].lower() in ("on", "1", "true")
+                if not self.afc_active:
+                    self.afc.reset()
+                return {"ok": "afc", "active": self.afc_active}
+            if cmd in ("gain", "agc", "ppm"):
+                return self._hw_command(cmd, args)
+            if cmd == "status":
+                return self.status()
+            if cmd in ("quit", "stop", "exit"):
+                return STOP
+        except (ValueError, IndexError) as e:
+            return {"error": f"{line!r}: {e}"}
+        return {"error": f"unknown command {line!r}"}
+
+    @staticmethod
+    def _parse_hz(tok: str) -> int:
+        """Accept '94300000', '94.3e6', or '94.3M'."""
+        tok = tok.strip().lower()
+        mult = 1
+        if tok.endswith("m"):
+            tok, mult = tok[:-1], 1_000_000
+        elif tok.endswith("k"):
+            tok, mult = tok[:-1], 1_000
+        return int(round(float(tok) * mult))
+
+    def _hw_command(self, cmd, args):
+        src = self.source
+        if src is None:
+            return {"error": f"{cmd}: no hardware source"}
+        if cmd == "gain":
+            src.set_gain_mode(True)
+            src.set_gain(int(args[0]))
+            return {"ok": "gain", "tenth_db": int(args[0])}
+        if cmd == "agc":
+            on = args[0].lower() in ("on", "1", "true")
+            src.set_agc(on)
+            src.set_gain_mode(not on)
+            return {"ok": "agc", "active": on}
+        src.set_freq_correction(int(args[0]))
+        return {"ok": "ppm", "ppm": int(args[0])}
+
+    def status(self) -> dict:
+        s = {"lo_hz": self.lo_hz,
+             "afc": {"active": self.afc_active,
+                     "offset_hz": round(self.afc.offset, 2)},
+             "volume_db": self.volume_db, "muted": self.muted,
+             "balance": self.balance,
+             "retunes": self.retunes, "hw_retunes": self.hw_retunes,
+             "meta": self._last_meta}
+        if self.center_hz is not None:
+            s["center_hz"] = self.center_hz
+            s["tuned_hz"] = self.center_hz + self.lo_hz
+        if self.squelch_level is not None:
+            s["squelch_level"] = self.squelch_level
+        src = self.source
+        if src is not None:
+            dev = {}
+            for attr in ("dropped", "reconnects", "connected",
+                         "tuner_type", "tuner_gain_count"):
+                v = getattr(src, attr, None)
+                if v is not None:
+                    dev[attr] = v
+            if dev:
+                s["device"] = dev
+        if self.meta_provider is not None:
+            s.update(self.meta_provider())
+        return s
+
+
+class _Stop:
+    pass
+
+
+STOP = _Stop()

@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -523,9 +524,20 @@ struct SdrTcpSource {
   std::atomic<uint64_t> produced{0};   // frames
   std::atomic<uint64_t> dropped{0};
   std::atomic<int> eof{0};
+  std::atomic<int> connected{0};
+  std::atomic<uint32_t> reconnects{0};
   int fd = -1;
+  std::mutex io_mu;           // guards fd against reconnect swaps
   uint32_t tuner_type = 0;
   uint32_t gain_count = 0;
+  // session resume state (the rtlsdr-handler re-applies its settings on
+  // restart; we replay the last value per opcode after a reconnect)
+  std::string host;
+  int port = 0;
+  long reconnect_timeout_ms = 0;    // 0 = no reconnecting (fail at EOF)
+  uint32_t sample_rate = 2304000;   // for gap-as-drops accounting
+  uint32_t last_param[16] = {0};
+  bool have_param[16] = {false};
 
   explicit SdrTcpSource(size_t ring_frames) : ring(ring_frames * 2) {}
 };
@@ -542,14 +554,10 @@ bool recv_exact(int fd, uint8_t* dst, size_t n) {
   return true;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Connects and validates the server header. Returns nullptr on connect
-// failure, header timeout, or bad magic.
-SdrTcpSource* sdr_rtltcp_open(const char* host, int port,
-                              size_t ring_frames) {
+// Connect + validate the 12-byte "RTL0" header; returns the socket (or -1)
+// and fills tuner/gain info.
+int rtltcp_connect(const char* host, int port, uint32_t* tuner_type,
+                   uint32_t* gain_count) {
   struct addrinfo hints;
   memset(&hints, 0, sizeof(hints));
   hints.ai_family = AF_UNSPEC;
@@ -557,7 +565,7 @@ SdrTcpSource* sdr_rtltcp_open(const char* host, int port,
   char portstr[16];
   snprintf(portstr, sizeof(portstr), "%d", port);
   struct addrinfo* res = nullptr;
-  if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res) return nullptr;
+  if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res) return -1;
   int fd = -1;
   for (struct addrinfo* p = res; p; p = p->ai_next) {
     fd = socket(p->ai_family, p->ai_socktype, p->ai_protocol);
@@ -567,35 +575,130 @@ SdrTcpSource* sdr_rtltcp_open(const char* host, int port,
     fd = -1;
   }
   freeaddrinfo(res);
-  if (fd < 0) return nullptr;
+  if (fd < 0) return -1;
 
   struct timeval tv = {5, 0};   // header must arrive promptly
   setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
   uint8_t hdr[12];
   if (!recv_exact(fd, hdr, 12) || memcmp(hdr, "RTL0", 4) != 0) {
     close(fd);
-    return nullptr;
+    return -1;
   }
-  auto* s = new SdrTcpSource(ring_frames);
-  s->fd = fd;
-  s->tuner_type = (uint32_t(hdr[4]) << 24) | (uint32_t(hdr[5]) << 16) |
-                  (uint32_t(hdr[6]) << 8) | uint32_t(hdr[7]);
-  s->gain_count = (uint32_t(hdr[8]) << 24) | (uint32_t(hdr[9]) << 16) |
-                  (uint32_t(hdr[10]) << 8) | uint32_t(hdr[11]);
+  *tuner_type = (uint32_t(hdr[4]) << 24) | (uint32_t(hdr[5]) << 16) |
+                (uint32_t(hdr[6]) << 8) | uint32_t(hdr[7]);
+  *gain_count = (uint32_t(hdr[8]) << 24) | (uint32_t(hdr[9]) << 16) |
+                (uint32_t(hdr[10]) << 8) | uint32_t(hdr[11]);
   // short poll timeout so the reader thread notices stop() quickly
   struct timeval rt = {0, 200000};
   setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &rt, sizeof(rt));
+  return fd;
+}
+
+int send_rtltcp_command(int fd, uint8_t cmd, uint32_t param) {
+  uint8_t msg[5] = {cmd, uint8_t(param >> 24), uint8_t(param >> 16),
+                    uint8_t(param >> 8), uint8_t(param)};
+  return send(fd, msg, 5, MSG_NOSIGNAL) == 5 ? 0 : -1;
+}
+
+// Re-establish a dropped rtl_tcp session: retry with linear backoff until
+// reconnect_timeout_ms elapses, then replay the device settings in
+// dependency order (rate, ppm, gain mode, gain, AGC, frequency — the
+// rtlsdr-handler applies them in the same shape on restart).  The outage
+// gap is accounted as drops at the configured sample rate, so downstream
+// drop accounting stays truthful about lost signal time.
+bool rtltcp_reconnect(SdrTcpSource* s) {
+  auto t0 = std::chrono::steady_clock::now();
+  long backoff_ms = 50;
+  while (s->running.load(std::memory_order_relaxed)) {
+    auto elapsed = std::chrono::duration_cast<std::chrono::milliseconds>(
+                       std::chrono::steady_clock::now() - t0)
+                       .count();
+    if (elapsed > s->reconnect_timeout_ms) return false;
+    std::this_thread::sleep_for(std::chrono::milliseconds(backoff_ms));
+    if (backoff_ms < 1600) backoff_ms *= 2;
+    uint32_t tt = 0, gc = 0;
+    int fd = rtltcp_connect(s->host.c_str(), s->port, &tt, &gc);
+    if (fd < 0) continue;
+    {
+      std::lock_guard<std::mutex> lk(s->io_mu);
+      if (s->fd >= 0) close(s->fd);
+      s->fd = fd;
+      s->tuner_type = tt;
+      s->gain_count = gc;
+      static const uint8_t replay_order[] = {0x02, 0x05, 0x03, 0x04,
+                                             0x08, 0x01};
+      for (uint8_t cmd : replay_order) {
+        if (s->have_param[cmd])
+          send_rtltcp_command(fd, cmd, s->last_param[cmd]);
+      }
+    }
+    auto gap_ms = std::chrono::duration_cast<std::chrono::milliseconds>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+    s->dropped.fetch_add((uint64_t)gap_ms * s->sample_rate / 1000);
+    s->reconnects.fetch_add(1);
+    s->connected.store(1);
+    return true;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Connects and validates the server header.  reconnect_timeout_ms > 0
+// enables automatic session recovery: when the server drops mid-run the
+// reader retries with backoff for up to that long, replays the device
+// settings, and counts the outage as dropped frames.  Returns nullptr on
+// connect failure, header timeout, or bad magic.
+SdrTcpSource* sdr_rtltcp_open2(const char* host, int port, size_t ring_frames,
+                               long reconnect_timeout_ms) {
+  uint32_t tt = 0, gc = 0;
+  int fd = rtltcp_connect(host, port, &tt, &gc);
+  if (fd < 0) return nullptr;
+  auto* s = new SdrTcpSource(ring_frames);
+  s->fd = fd;
+  s->tuner_type = tt;
+  s->gain_count = gc;
+  s->host = host;
+  s->port = port;
+  s->reconnect_timeout_ms = reconnect_timeout_ms;
+  s->connected.store(1);
   return s;
+}
+
+SdrTcpSource* sdr_rtltcp_open(const char* host, int port,
+                              size_t ring_frames) {
+  return sdr_rtltcp_open2(host, port, ring_frames, 0);
 }
 
 uint32_t sdr_rtltcp_tuner_type(SdrTcpSource* s) { return s->tuner_type; }
 uint32_t sdr_rtltcp_gain_count(SdrTcpSource* s) { return s->gain_count; }
+uint32_t sdr_rtltcp_reconnects(SdrTcpSource* s) {
+  return s->reconnects.load();
+}
+int sdr_rtltcp_connected(SdrTcpSource* s) { return s->connected.load(); }
+
+// Discard everything buffered in the ring (resetBuffer,
+// device-handler.h:75 — used after a retune so the next block starts at
+// post-retune signal).  Consumer-side only.
+void sdr_rtltcp_flush(SdrTcpSource* s) { s->ring.reset(); }
 
 // 5-byte command frame: opcode + big-endian argument. Returns 0 on success.
+// The last value per opcode is remembered for replay after a reconnect;
+// a send failure while reconnection is enabled is therefore not an error —
+// the setting lands when the session resumes.
 int sdr_rtltcp_command(SdrTcpSource* s, uint8_t cmd, uint32_t param) {
-  uint8_t msg[5] = {cmd, uint8_t(param >> 24), uint8_t(param >> 16),
-                    uint8_t(param >> 8), uint8_t(param)};
-  return send(s->fd, msg, 5, MSG_NOSIGNAL) == 5 ? 0 : -1;
+  std::lock_guard<std::mutex> lk(s->io_mu);
+  if (cmd < 16) {
+    s->last_param[cmd] = param;
+    s->have_param[cmd] = true;
+    if (cmd == 0x02) s->sample_rate = param;
+  }
+  int rc = s->fd >= 0 ? send_rtltcp_command(s->fd, cmd, param) : -1;
+  if (rc != 0 && s->reconnect_timeout_ms > 0) return 0;  // queued for replay
+  return rc;
 }
 
 void sdr_rtltcp_start(SdrTcpSource* s) {
@@ -606,17 +709,25 @@ void sdr_rtltcp_start(SdrTcpSource* s) {
     std::vector<uint8_t> buf(65536);
     size_t carry = 0;   // odd trailing byte of a frame split across recvs
     while (s->running.load(std::memory_order_relaxed)) {
-      ssize_t r = recv(s->fd, buf.data() + carry, buf.size() - carry, 0);
-      if (r == 0) {            // orderly server shutdown
-        s->eof.store(1);
-        break;
+      int fd;
+      {
+        std::lock_guard<std::mutex> lk(s->io_mu);
+        fd = s->fd;
       }
-      if (r < 0) {             // poll timeout or transient error
-        if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR)
+      ssize_t r = recv(fd, buf.data() + carry, buf.size() - carry, 0);
+      if (r == 0 ||
+          (r < 0 && errno != EAGAIN && errno != EWOULDBLOCK &&
+           errno != EINTR)) {
+        // server gone (orderly shutdown or hard error): recover or finish
+        s->connected.store(0);
+        if (s->reconnect_timeout_ms > 0 && rtltcp_reconnect(s)) {
+          carry = 0;             // alignment restarts at the fresh stream
           continue;
+        }
         s->eof.store(1);
         break;
       }
+      if (r < 0) continue;       // poll timeout
       size_t have = carry + (size_t)r;
       size_t whole = have & ~size_t(1);   // keep IQ pairs intact
       size_t put = s->ring.put(buf.data(), whole);

@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_raw_pipe_open         # newest ABI symbol; probes staleness
+        lib.sdr_rtltcp_open2          # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_raw_pipe_open) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_rtltcp_open2) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -107,6 +107,14 @@ def load_library(build: bool = True):
     lib.sdr_rtltcp_open.restype = ctypes.c_void_p
     lib.sdr_rtltcp_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                     ctypes.c_size_t]
+    lib.sdr_rtltcp_open2.restype = ctypes.c_void_p
+    lib.sdr_rtltcp_open2.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_size_t, ctypes.c_long]
+    lib.sdr_rtltcp_reconnects.restype = ctypes.c_uint32
+    lib.sdr_rtltcp_reconnects.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_connected.restype = ctypes.c_int
+    lib.sdr_rtltcp_connected.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_flush.argtypes = [ctypes.c_void_p]
     lib.sdr_rtltcp_tuner_type.restype = ctypes.c_uint32
     lib.sdr_rtltcp_tuner_type.argtypes = [ctypes.c_void_p]
     lib.sdr_rtltcp_gain_count.restype = ctypes.c_uint32
@@ -200,7 +208,13 @@ class RtlTcpSource:
     the (v-127)/128 conversion on-device (rtlsdr-handler.cpp:285-294).
 
     Control commands follow the rtl_tcp opcode set: set_frequency(0x01),
-    set_sample_rate(0x02), gain mode(0x03), tuner gain(0x04), AGC(0x08).
+    set_sample_rate(0x02), gain mode(0x03), tuner gain(0x04), ppm
+    correction(0x05), AGC(0x08).
+
+    reconnect_timeout_ms > 0 enables session recovery: if the server drops
+    mid-run, the native reader retries with backoff for up to that long,
+    replays the device settings (rate/ppm/gain/AGC/frequency), counts the
+    outage as dropped frames, and resumes — `reconnects` reports how often.
     """
 
     CMD_SET_FREQ = 0x01
@@ -213,10 +227,12 @@ class RtlTcpSource:
     fmt = "u8"
 
     def __init__(self, host: str, port: int = 1234,
-                 rate: int = 2_304_000, ring_frames: int = 1 << 22):
+                 rate: int = 2_304_000, ring_frames: int = 1 << 22,
+                 reconnect_timeout_ms: int = 0):
         self._lib = load_library()
-        self._h = self._lib.sdr_rtltcp_open(host.encode(), int(port),
-                                            ring_frames)
+        self._h = self._lib.sdr_rtltcp_open2(host.encode(), int(port),
+                                             ring_frames,
+                                             int(reconnect_timeout_ms))
         if not self._h:
             raise IOError(f"cannot connect to rtl_tcp at {host}:{port}")
         self._rate = int(rate)
@@ -248,6 +264,22 @@ class RtlTcpSource:
 
     def set_agc(self, on: bool) -> None:
         self.command(self.CMD_SET_AGC_MODE, 1 if on else 0)
+
+    def set_freq_correction(self, ppm: int) -> None:
+        self.command(self.CMD_SET_FREQ_CORRECTION, ppm)
+
+    def flush(self) -> None:
+        """Discard buffered frames (resetBuffer, device-handler.h:75) —
+        e.g. right after a retune so the next block is post-retune signal."""
+        self._lib.sdr_rtltcp_flush(self._h)
+
+    @property
+    def reconnects(self) -> int:
+        return int(self._lib.sdr_rtltcp_reconnects(self._h))
+
+    @property
+    def connected(self) -> bool:
+        return bool(self._lib.sdr_rtltcp_connected(self._h))
 
     def start(self):
         self._lib.sdr_rtltcp_start(self._h)

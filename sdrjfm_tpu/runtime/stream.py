@@ -175,6 +175,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                   chunk_blocks: int = 1,
                   rds_feedback=None,
                   controls_update=None,
+                  command_hook=None,
                   on_state=None) -> StreamResult:
     """Streaming block driver: per-block callbacks + double-buffered input.
 
@@ -225,7 +226,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     if chunk_blocks > 1:
         assert not collect_taps, "taps need the per-block path"
         assert rds_feedback is None and controls_update is None \
-            and on_state is None, \
+            and on_state is None and command_hook is None, \
             "per-block host feedback needs chunk_blocks=1"
         return _run_streaming_chunked(rx, iq, controls, init_state,
                                       on_audio, on_meta, on_rds_bits,
@@ -255,7 +256,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
         frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
                             else out.audio)
         meta = n = None
-        if collect_meta or on_meta is not None or controls_update is not None:
+        if collect_meta or on_meta is not None or controls_update is not None \
+                or command_hook is not None:
             meta, n = meta_dict_from_vec(np.asarray(out.meta_vec))
         blk_bits = None
         if out.rds is not None:
@@ -273,6 +275,9 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
             controls = controls_update(controls, meta) or controls
+        stop = False
+        if command_hook is not None:
+            state, controls, stop = command_hook(state, controls, meta)
         if on_state is not None:
             on_state(b + 1, state)
         if meta is not None:
@@ -285,6 +290,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
         if collect_taps and out.taps:
             for k, v in out.taps.items():
                 tap_acc.setdefault(k, []).append(np.asarray(v))
+        if stop:
+            break
 
     res = StreamResult(
         audio=(np.concatenate(audio_acc, axis=0) if audio_acc
@@ -396,6 +403,7 @@ def run_live(rx: Receiver, source,
              keep_outputs: bool = True,
              rds_feedback=None,
              controls_update=None,
+             command_hook=None,
              on_state=None,
              timeout_ms: int = 30_000) -> StreamResult:
     """Live block driver: pull paced blocks from a streaming Source's ring.
@@ -461,6 +469,9 @@ def run_live(rx: Receiver, source,
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
             controls = controls_update(controls, meta) or controls
+        stop = False
+        if command_hook is not None:
+            state, controls, stop = command_hook(state, controls, meta)
         if on_state is not None:
             on_state(b + 1, state)
         metas.append(meta)
@@ -470,6 +481,8 @@ def run_live(rx: Receiver, source,
                 bits_acc.append(blk_bits)
                 biq_acc.append(np.asarray(out.rds.iq)[:n])
         b += 1
+        if stop:
+            break
 
     res = StreamResult(
         audio=(np.concatenate(audio_acc, axis=0) if audio_acc
@@ -489,6 +502,7 @@ def run_offline(rx: Receiver, iq: np.ndarray,
                 init_state=None,
                 rds_feedback=None,
                 controls_update=None,
+                command_hook=None,
                 on_state=None) -> StreamResult:
     """Process a full IQ array through the receiver, block by block.
 
@@ -524,9 +538,14 @@ def run_offline(rx: Receiver, iq: np.ndarray,
                 state = rx.request_rds_resync(state)
         if controls_update is not None:
             controls = controls_update(controls, meta) or controls
+        stop = False
+        if command_hook is not None:
+            state, controls, stop = command_hook(state, controls, meta)
         if on_state is not None:
             on_state(b + 1, state)
         if b < drop_blocks:
+            if stop:
+                break
             continue
         audio.append(np.asarray(out.audio))
         metas.append(meta)
@@ -536,6 +555,8 @@ def run_offline(rx: Receiver, iq: np.ndarray,
         if collect_taps and out.taps:
             for k, v in out.taps.items():
                 tap_acc.setdefault(k, []).append(np.asarray(v))
+        if stop:
+            break
 
     res = StreamResult(audio=np.concatenate(audio, axis=0), meta=metas,
                        final_state=state)

@@ -244,3 +244,187 @@ def test_source_protocol_adapter(u8_capture):
             + 1j * (u8_capture[:30_000, 1].astype(np.float32) - 127)) / 128.0
     np.testing.assert_allclose(x, want.astype(np.complex64), atol=1e-6)
     assert (0x01, 101_700_000) in srv.commands
+
+
+class RestartableRtlTcpServer:
+    """Serves session 1 (header + some frames), drops the connection hard,
+    then accepts session 2 and serves the stream indefinitely — the
+    server-died-mid-run fixture for the reconnect/backoff path."""
+
+    def __init__(self, frames: np.ndarray, first_session_frames: int = 60_000):
+        assert frames.dtype == np.uint8 and frames.ndim == 2
+        self.payload = frames.tobytes()
+        self.cut = first_session_frames * 2
+        self.sessions = []            # [[(cmd, param), ...] per session]
+        self._srv = socket.socket()
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _read_commands(self, conn, sink):
+        buf = b""
+        try:
+            while not self._stop.is_set():
+                data = conn.recv(256)
+                if not data:
+                    return
+                buf += data
+                while len(buf) >= 5:
+                    sink.append((buf[0], struct.unpack(">I", buf[1:5])[0]))
+                    buf = buf[5:]
+        except OSError:
+            pass
+
+    def _serve(self):
+        self._srv.settimeout(30.0)
+        for session in range(2):
+            try:
+                conn, _ = self._srv.accept()
+            except (socket.timeout, OSError):     # pragma: no cover
+                return
+            cmds = []
+            self.sessions.append(cmds)
+            conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+            threading.Thread(target=self._read_commands, args=(conn, cmds),
+                             daemon=True).start()
+            try:
+                if session == 0:
+                    conn.sendall(self.payload[:self.cut])
+                    time.sleep(0.1)   # let the client drain it
+                    # hard drop mid-stream.  NB: plain close() would be
+                    # DEFERRED — the command-reader thread blocked in
+                    # recv() holds a socket io-ref, so CPython keeps the
+                    # fd open and the client never sees the drop;
+                    # shutdown() tears the connection down immediately.
+                    conn.shutdown(socket.SHUT_RDWR)
+                    conn.close()
+                else:
+                    pos = self.cut
+                    while not self._stop.is_set():
+                        if pos >= len(self.payload):
+                            pos = 0
+                        conn.sendall(self.payload[pos:pos + 65536])
+                        pos += 65536
+            except OSError:
+                pass
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+
+def test_reconnect_after_server_drop(u8_capture):
+    """Server dies mid-run: with reconnect_timeout_ms the native reader
+    retries with backoff, replays the device settings on the new session,
+    counts the outage as drops, and the stream resumes
+    (rtlsdr-handler.cpp restart plumbing; round-2 verdict item 6)."""
+    srv = RestartableRtlTcpServer(u8_capture[:200_000])
+    try:
+        with RtlTcpSource("127.0.0.1", srv.port, rate=C.INPUT_RATE,
+                          reconnect_timeout_ms=10_000) as src:
+            src.set_frequency(94_300_000)
+            a = src.read_block(50_000, timeout_ms=10_000)
+            assert len(a) == 50_000
+            b = src.read_block(100_000, timeout_ms=30_000)   # spans the drop
+            assert len(b) == 100_000
+            assert src.reconnects == 1
+            assert src.dropped > 0          # the outage gap is accounted
+            assert src.connected
+            time.sleep(0.3)
+    finally:
+        srv.close()
+    assert len(srv.sessions) == 2
+    s2 = dict(srv.sessions[1])
+    # settings replayed on the fresh session: rate then the frequency
+    assert s2.get(0x02) == C.INPUT_RATE
+    assert s2.get(0x01) == 94_300_000
+
+
+def test_no_reconnect_without_optin(u8_capture):
+    """Default (reconnect_timeout_ms=0): a dead server is EOF, not a retry
+    loop — the pre-round-3 contract is preserved."""
+    srv = RestartableRtlTcpServer(u8_capture[:200_000])
+    try:
+        with RtlTcpSource("127.0.0.1", srv.port, rate=C.INPUT_RATE) as src:
+            a = src.read_block(60_000, timeout_ms=10_000)
+            assert len(a) == 60_000
+            b = src.read_block(100_000, timeout_ms=5_000)
+            assert len(b) < 100_000         # EOF'd short
+            assert src.eof
+            assert src.reconnects == 0
+    finally:
+        srv.close()
+
+
+def test_cli_device_flags(u8_capture, tmp_path):
+    """--gain/--agc/--ppm reach the wire as command frames and the report
+    carries the device identity (tuner type/gain count/reconnects)."""
+    import json
+    from sdrjfm_tpu.app import main
+
+    srv = MockRtlTcpServer(u8_capture, loop=True)
+    rep = str(tmp_path / "rep.json")
+    try:
+        rc = main(["rx", "--iq", f"rtl_tcp://127.0.0.1:{srv.port}",
+                   "--tune-hz", "94300000", "--block-fm", "16384",
+                   "--gain", "297", "--ppm", "12",
+                   "--reconnect-timeout", "5",
+                   "--report", rep, "--loop-seconds", "0.5"])
+        time.sleep(0.3)
+    finally:
+        srv.close()
+    assert rc == 0
+    cmds = dict()
+    for c, p in srv.commands:
+        cmds.setdefault(c, []).append(p)
+    assert cmds[0x05] == [12]                # ppm correction
+    assert cmds[0x03] == [1]                 # manual gain mode
+    assert cmds[0x04] == [297]               # tuner gain
+    assert cmds[0x01] == [94_300_000]
+    r = json.load(open(rep))
+    assert r["device"] == {"tuner_type": 5, "tuner_gain_count": 29,
+                           "reconnects": 0}
+
+
+def test_device_flags_require_rtltcp(tmp_path):
+    from sdrjfm_tpu.app import main
+
+    assert main(["rx", "--iq", "nope.wav", "--gain", "297"]) == 2
+
+
+def test_control_hw_commands_reach_wire(u8_capture):
+    """gain/agc/ppm through the runtime control channel dispatch land on
+    the rtl_tcp control plane as the right opcodes."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+
+    srv = MockRtlTcpServer(u8_capture[:20_000], loop=True)
+    try:
+        with RtlTcpSource("127.0.0.1", srv.port) as src:
+            rx = Receiver(ReceiverConfig(block_fm=16384))
+            proc = CommandProcessor(rx, None, center_hz=94_300_000,
+                                    source=src)
+            assert proc._dispatch("gain 297", None) == {"ok": "gain",
+                                                        "tenth_db": 297}
+            assert proc._dispatch("agc on", None) == {"ok": "agc",
+                                                      "active": True}
+            assert proc._dispatch("ppm -7", None) == {"ok": "ppm", "ppm": -7}
+            src.read_block(5_000, timeout_ms=5000)
+            time.sleep(0.3)
+    finally:
+        srv.close()
+    cmds = [(c, p) for c, p in srv.commands if c != 0x02]
+    assert (0x03, 1) in cmds and (0x04, 297) in cmds
+    assert (0x08, 1) in cmds and (0x03, 0) in cmds
+    assert (0x05, 0xFFFFFFF9) in cmds        # -7 as u32 big-endian
