@@ -243,6 +243,77 @@ def _build_synth_parser(sub):
                         "--iq-format auto/i16 — half the input bytes)")
 
 
+class _FollowDumps:
+    """Incremental dump/tap writers for live (--follow) runs.
+
+    The reference dumps input IQ and audio to wav *while receiving*
+    (fm-processor.cpp:338-349,448-455; audiosink.cpp:268-274); the offline
+    runners collect taps in memory, but a live run has no capture to go
+    back to — so each block's taps are appended as they stream.  The wav
+    dumps are byte-identical to the offline dumps of the same capture;
+    --spectra accumulates its LF waterfall per block (same math as
+    offline) and takes the HF spectrum from the first block's input tap.
+    """
+
+    def __init__(self, args, cfg):
+        from .io.wavio import StreamingWavWriter
+        self.args, self.cfg = args, cfg
+        self.w_input = (StreamingWavWriter(args.dump_input, cfg.input_rate,
+                                           2) if args.dump_input else None)
+        self.w_if = (StreamingWavWriter(args.dump_if, cfg.fm_rate, 2)
+                     if args.dump_if else None)
+        self.w_mpx = (StreamingWavWriter(args.dump_mpx, cfg.fm_rate, 1)
+                      if args.dump_mpx else None)
+        self.lf_rows = []
+        self.lf_axis = None
+        self.hf = None
+
+    def on_taps(self, taps):
+        import numpy as np
+        if self.w_input is not None and "input_dc" in taps:
+            self.w_input.write_iq(taps["input_dc"])
+        if self.w_if is not None and "if_filtered" in taps:
+            self.w_if.write_iq(taps["if_filtered"])
+        if self.w_mpx is not None and "demod" in taps:
+            self.w_mpx.write(taps["demod"])
+        if self.args.spectra:
+            from .models import scopes
+            import jax.numpy as jnp
+            if self.hf is None and "input_dc" in taps:
+                self.hf = np.asarray(scopes.spectrum_db(
+                    jnp.asarray(taps["input_dc"])))
+            lf = self.args.lf_plot
+            if lf in taps:
+                rate = (self.cfg.rds_rate if lf.startswith("rds")
+                        else self.cfg.fm_rate)
+                xa, amp, _ = scopes.lf_spectrum(
+                    jnp.asarray(taps[lf]).astype(jnp.complex64), rate,
+                    zoom_factor=self.args.lf_zoom)
+                self.lf_rows.append(20.0 * np.log10(
+                    np.maximum(np.asarray(amp), 1e-10)))
+                self.lf_axis = np.asarray(xa)
+
+    def finish(self, res):
+        import numpy as np
+        for w in (self.w_input, self.w_if, self.w_mpx):
+            if w is not None:
+                w.close()
+                print(f"wrote {w.path}", file=sys.stderr)
+        if self.args.spectra:
+            from .models import scopes
+            out_npz = {}
+            if self.hf is not None:
+                out_npz["hf_spectrum_db"] = self.hf
+            if self.lf_rows:
+                out_npz["lf_waterfall_db"] = scopes.waterfall(self.lf_rows)
+                out_npz["lf_x_axis_khz"] = self.lf_axis
+            if res.rds_iq is not None:
+                out_npz["rds_constellation"] = scopes.iq_constellation(
+                    res.rds_iq)
+            np.savez(self.args.spectra, **out_npz)
+            print(f"wrote {self.args.spectra}", file=sys.stderr)
+
+
 def cmd_rx(args) -> int:
     import numpy as np
     import jax.numpy as jnp
@@ -318,10 +389,6 @@ def cmd_rx(args) -> int:
         deemph_us = float(args.deemphasis)
     want_taps = bool(args.dump_if or args.dump_mpx or args.spectra
                      or args.dump_input)
-    if args.follow and want_taps:
-        print("--follow streams block-by-block; dumps/spectra need the "
-              "offline runners", file=sys.stderr)
-        return 2
     if args.afc and not args.follow and args.runner == "scan" \
             and not args.pcm_out:
         print("--afc closes a per-block host loop; use --runner loop, "
@@ -353,7 +420,10 @@ def cmd_rx(args) -> int:
         rds=args.rds_decoder if args.rds else "off",
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
         frontend=args.frontend, emit_taps=want_taps,
-        emit_input_tap=bool(args.dump_input),
+        # follow-mode --spectra takes its HF spectrum from the input tap
+        # (there is no in-memory capture to transform)
+        emit_input_tap=bool(args.dump_input
+                            or (args.spectra and args.follow)),
         # streaming sinks take the on-device-quantized PCM16 wire form
         # (half the device->host audio bytes; s16le is what they emit
         # anyway) unless the user asked for float32 wav output
@@ -451,6 +521,9 @@ def cmd_rx(args) -> int:
         def on_state(blocks_done, state):
             if blocks_done % every == 0:
                 ckpt_mgr.save(blocks_done, state)
+    follow_dumps = None
+    if args.follow and want_taps:
+        follow_dumps = _FollowDumps(args, cfg)
     try:
         with profile_cm:
             if args.follow:
@@ -509,7 +582,9 @@ def cmd_rx(args) -> int:
                         rds_feedback=live_rds.feed if live_rds else None,
                         controls_update=controls_update,
                         command_hook=command_hook,
-                        on_state=on_state)
+                        on_state=on_state,
+                        on_taps=(follow_dumps.on_taps if follow_dumps
+                                 else None))
                     if is_rtltcp:
                         dev_info = {"tuner_type": src.tuner_type,
                                     "tuner_gain_count": src.tuner_gain_count,
@@ -592,16 +667,18 @@ def cmd_rx(args) -> int:
               f"groups={live_rds.sync.groups_decoded} "
               f"BER={live_rds.sync.bit_error_rate:.4f}",
               file=sys.stderr)
-    if args.dump_input and "input_dc" in res.taps:
+    if follow_dumps is not None:
+        follow_dumps.finish(res)
+    if args.dump_input and not args.follow and "input_dc" in res.taps:
         from .io.wavio import write_iq_wav
         write_iq_wav(args.dump_input, res.taps["input_dc"], cfg.input_rate)
         print(f"wrote {args.dump_input}", file=sys.stderr)
-    if args.dump_if and "if_filtered" in res.taps:
+    if args.dump_if and not args.follow and "if_filtered" in res.taps:
         from .io.wavio import write_iq_wav
         write_iq_wav(args.dump_if, res.taps["if_filtered"], cfg.fm_rate)
-    if args.dump_mpx and "demod" in res.taps:
+    if args.dump_mpx and not args.follow and "demod" in res.taps:
         write_wav(args.dump_mpx, res.taps["demod"], cfg.fm_rate, float32=True)
-    if args.spectra:
+    if args.spectra and not args.follow:
         from .models import scopes
         import jax.numpy as jnp
         iq_c = iq[: cfg.block_in]

@@ -179,3 +179,71 @@ def read_iq_raw(path: str, fmt: str):
 def write_iq_wav(path: str, iq: np.ndarray, rate: int, float32: bool = True):
     write_wav(path, np.stack([iq.real, iq.imag], axis=1), rate,
               float32=float32)
+
+
+class StreamingWavWriter:
+    """Incremental wav writer for live runs.
+
+    The reference dumps input IQ and audio to wav *while receiving*
+    (fm-processor.cpp:338-349,448-455; audiosink.cpp:268-274 via libsndfile).
+    This is the block-pipeline equivalent: open once, append per block,
+    patch the RIFF/data sizes on close — the finished file is byte-identical
+    to a one-shot `write_wav` of the concatenated blocks (the live-vs-
+    offline dump identity the tests assert).
+    """
+
+    def __init__(self, path: str, rate: int, channels: int,
+                 float32: bool = True):
+        self.path = path
+        self.channels = channels
+        self.float32 = float32
+        bits = 32 if float32 else 16
+        block = channels * bits // 8
+        hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3 if float32 else 1,
+                                     channels, rate, rate * block, block,
+                                     bits)
+        hdr += b"data" + struct.pack("<I", 0)
+        self._f = open(path, "wb")
+        self._f.write(hdr)
+        self._nbytes = 0
+
+    def write(self, data: np.ndarray) -> None:
+        """Append [n] or [n, channels] samples (write_wav encoding rules:
+        float32 mode rescales int16; PCM16 mode passes int16 through and
+        quantizes float)."""
+        data = np.asarray(data)
+        if data.ndim == 1:
+            data = data[:, None]
+        assert data.shape[1] == self.channels
+        if self.float32:
+            if data.dtype == np.int16:
+                data = data.astype(np.float32) / 32768.0
+            payload = data.astype("<f4").tobytes()
+        elif data.dtype == np.int16:
+            payload = data.astype("<i2", copy=False).tobytes()
+        else:
+            payload = (np.clip(data, -1.0, 1.0 - 1.0 / 32768)
+                       * 32768.0).astype("<i2").tobytes()
+        self._f.write(payload)
+        self._nbytes += len(payload)
+
+    def write_iq(self, iq: np.ndarray) -> None:
+        iq = np.asarray(iq)
+        self.write(np.stack([iq.real, iq.imag], axis=1))
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + self._nbytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", self._nbytes))
+        self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

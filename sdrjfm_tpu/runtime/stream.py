@@ -405,6 +405,7 @@ def run_live(rx: Receiver, source,
              controls_update=None,
              command_hook=None,
              on_state=None,
+             on_taps=None,
              timeout_ms: int = 30_000) -> StreamResult:
     """Live block driver: pull paced blocks from a streaming Source's ring.
 
@@ -460,6 +461,11 @@ def run_live(rx: Receiver, source,
             blk_bits = np.asarray(out.rds.bits)[:n]
         if on_audio is not None:
             on_audio(frames)
+        if on_taps is not None and out.taps:
+            # incremental live dumps (fm-processor.cpp:338-349,448-455
+            # dump while receiving) — the host writes while the device
+            # computes the next block
+            on_taps({k: np.asarray(v) for k, v in out.taps.items()})
         if on_meta is not None:
             on_meta(meta)
         if blk_bits is not None:

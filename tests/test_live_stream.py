@@ -149,3 +149,36 @@ def test_cli_follow_loop_seconds(capture16, tmp_path):
     r = json.load(open(rep))
     want = int(2 * C.INPUT_RATE) // (BLOCK_FM * 12)
     assert r["blocks"] == want
+
+
+def test_live_dumps_bit_identical_to_offline(capture16, tmp_path):
+    """--dump-input/--dump-if/--dump-mpx under --follow write incrementally
+    while receiving (fm-processor.cpp:338-349,448-455) and the finished
+    files are byte-identical to the offline runner's dumps; --spectra's LF
+    waterfall matches too (round-2 verdict item 5)."""
+    from sdrjfm_tpu.app import main
+
+    path, _ = capture16
+    off = {k: str(tmp_path / f"off_{k}") for k in
+           ("in.wav", "if.wav", "mpx.wav", "sp.npz")}
+    live = {k: str(tmp_path / f"live_{k}") for k in off}
+
+    def run(d, *extra):
+        assert main(["rx", "--iq", path, "--block-fm", str(BLOCK_FM),
+                     "--rds", "--dump-input", d["in.wav"],
+                     "--dump-if", d["if.wav"], "--dump-mpx", d["mpx.wav"],
+                     "--spectra", d["sp.npz"], *extra]) == 0
+
+    run(off)
+    run(live, "--follow", "--no-pace")
+    for k in ("in.wav", "if.wav", "mpx.wav"):
+        a = open(off[k], "rb").read()
+        b = open(live[k], "rb").read()
+        assert a == b, f"{k}: live dump differs ({len(a)} vs {len(b)} bytes)"
+    so = np.load(off["sp.npz"])
+    sl = np.load(live["sp.npz"])
+    np.testing.assert_allclose(sl["lf_waterfall_db"], so["lf_waterfall_db"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(sl["lf_x_axis_khz"], so["lf_x_axis_khz"])
+    assert sl["hf_spectrum_db"].shape == so["hf_spectrum_db"].shape
+    assert "rds_constellation" in sl
