@@ -645,6 +645,20 @@ def cmd_rx(args) -> int:
     }
     if args.follow:
         report["ingest_dropped"] = res.dropped_total
+        lats = sorted(m["latency_ms"] for m in res.meta[2:]
+                      if "latency_ms" in m)     # [2:]: skip jit warm-up
+        if lats:
+            q = lambda p: lats[min(len(lats) - 1,       # noqa: E731
+                                   int(p * len(lats)))]
+            report["latency_ms"] = {
+                "block": round(1e3 * cfg.block_fm / cfg.fm_rate, 1),
+                "p50": round(q(0.50), 1), "p95": round(q(0.95), 1),
+                "max": round(lats[-1], 1)}
+            print(f"end-to-end latency (ready->audio, post-warmup): "
+                  f"p50 {report['latency_ms']['p50']} ms, "
+                  f"p95 {report['latency_ms']['p95']} ms "
+                  f"(+{report['latency_ms']['block']} ms block accumulation)",
+                  file=sys.stderr)
     if dev_info is not None:
         report["device"] = dev_info
     if ctl_proc is not None:

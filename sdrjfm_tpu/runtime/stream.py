@@ -8,6 +8,7 @@ jitted step and collecting outputs.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -443,12 +444,19 @@ def run_live(rx: Receiver, source,
     dropped_last = source.dropped
     b = 0
     blk_np = source.read_block(T, timeout_ms)
+    # latency reference: read_block returns when the block's last sample is
+    # available, so (audio-delivered - block-ready) is the end-to-end
+    # processing+delivery latency on top of the 1-block accumulation time.
+    # (When the chain lags the pacing, the pre-read returns from backlog
+    # and this understates the true signal age — drops surface that case.)
+    t_ready = time.perf_counter()
     while len(blk_np) == T and (max_blocks is None or b < max_blocks):
         state, out = step(state, controls,
                           jax.device_put(jnp.asarray(blk_np, wire)))
         _prefetch_outputs(out)       # D2H overlaps the ring wait below
         # pre-read the next block from the ring while the device computes
         blk_np = source.read_block(T, timeout_ms)
+        t_next_ready = time.perf_counter()
         frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
                             else out.audio)
         drops_total = source.dropped
@@ -461,6 +469,8 @@ def run_live(rx: Receiver, source,
             blk_bits = np.asarray(out.rds.bits)[:n]
         if on_audio is not None:
             on_audio(frames)
+        meta["latency_ms"] = (time.perf_counter() - t_ready) * 1e3
+        t_ready = t_next_ready
         if on_taps is not None and out.taps:
             # incremental live dumps (fm-processor.cpp:338-349,448-455
             # dump while receiving) — the host writes while the device

@@ -182,3 +182,34 @@ def test_live_dumps_bit_identical_to_offline(capture16, tmp_path):
     np.testing.assert_array_equal(sl["lf_x_axis_khz"], so["lf_x_axis_khz"])
     assert sl["hf_spectrum_db"].shape == so["hf_spectrum_db"].shape
     assert "rds_constellation" in sl
+
+
+def test_live_latency_measured(capture16):
+    """Per-block end-to-end latency (block-ready -> audio delivered) is
+    measured on the live path; after jit warm-up the chain runs well
+    under one block time, i.e. the latency floor is the 85 ms block
+    accumulation itself (round-2 verdict item 8)."""
+    path, _ = capture16
+    rx = _rx()
+    sunk = []
+    with NativeRawSource(path, pace=True) as src:
+        res = run_live(rx, src, on_audio=sunk.append)
+    lats = [m["latency_ms"] for m in res.meta]
+    assert len(lats) == len(res.meta) and all(l > 0 for l in lats)
+    post = sorted(lats[2:])
+    block_ms = 1e3 * BLOCK_FM / C.FM_RATE
+    assert post[len(post) // 2] < block_ms, post
+    assert sunk, "audio was delivered"
+
+
+def test_cli_follow_reports_latency(capture16, tmp_path):
+    import json
+    from sdrjfm_tpu.app import main
+
+    path, _ = capture16
+    rep = str(tmp_path / "rep.json")
+    assert main(["rx", "--iq", path, "--follow", "--no-pace",
+                 "--block-fm", str(BLOCK_FM), "--report", rep]) == 0
+    lat = json.load(open(rep))["latency_ms"]
+    assert lat["block"] == round(1e3 * BLOCK_FM / C.FM_RATE, 1)
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["max"]
