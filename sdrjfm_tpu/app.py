@@ -189,6 +189,11 @@ def _build_rx_parser(sub):
                         "backoff for up to this many seconds, replay the "
                         "device settings, and resume (outage counted as "
                         "drops); 0 disables")
+    p.add_argument("--stations",
+                   help="station list JSON (written by `scan --stations`): "
+                        "the control channel can `tune <name>` through it "
+                        "and `save <name>` the current tuning back (the "
+                        "reference's programList, program-list.cpp:33-60)")
 
 
 def _build_scan_parser(sub):
@@ -491,13 +496,18 @@ def cmd_rx(args) -> int:
     ctl_channel = ctl_proc = command_hook = dev_info = None
     if args.control:
         from .runtime.control import ControlChannel, CommandProcessor
+        stations = None
+        if args.stations:
+            from .io.stations import StationList
+            stations = StationList.load(args.stations)
         ctl_channel = ControlChannel(args.control)
         ctl_proc = CommandProcessor(
             rx, ctl_channel, lo_hz=args.freq_offset,
             afc_active=args.afc,
             on_retune=(live_rds.reset if live_rds else None),
             meta_provider=(lambda: {"rds": live_rds.report()})
-            if live_rds else None)
+            if live_rds else None,
+            stations=stations, stations_path=args.stations)
         ctl_proc.seed_from(controls)
         command_hook = ctl_proc.apply
     sink = None

@@ -249,9 +249,15 @@ class CommandProcessor:
                  lo_hz: int = 0, center_hz: Optional[int] = None,
                  source=None, afc_active: bool = False,
                  on_retune: Optional[Callable[[], None]] = None,
-                 meta_provider: Optional[Callable[[], dict]] = None):
+                 meta_provider: Optional[Callable[[], dict]] = None,
+                 stations=None, stations_path: Optional[str] = None):
         self.rx = rx
         self.channel = channel
+        # station-list tuning (the reference's programList/keypad slots,
+        # radio.cpp:1366+): `tune <name>` resolves through the list,
+        # `save <name>` records the current tuning, `stations` lists it
+        self.stations = stations
+        self.stations_path = stations_path
         self.lo_hz = int(lo_hz)
         self.center_hz = int(center_hz) if center_hz is not None else None
         self.source = source
@@ -389,9 +395,31 @@ class CommandProcessor:
         parts = line.split()
         cmd, args = parts[0].lower(), parts[1:]
         try:
-            if cmd == "tune" and len(args) == 1:
-                st, resp = self.tune(self._parse_hz(args[0]), state)
+            if cmd == "tune" and args:
+                hz = None
+                if len(args) == 1:
+                    try:
+                        hz = self._parse_hz(args[0])
+                    except ValueError:
+                        pass
+                if hz is None:          # by station name (programList slot)
+                    name = " ".join(args)
+                    hit = next((s for s in (self.stations.stations
+                                            if self.stations else [])
+                                if s.name.strip().lower()
+                                == name.strip().lower()), None)
+                    if hit is None:
+                        return {"error": f"unknown station {name!r}"}
+                    hz = hit.frequency_hz
+                st, resp = self.tune(hz, state)
                 return st, resp
+            if cmd == "stations":
+                from dataclasses import asdict
+                return {"stations": [asdict(s) for s in
+                                     (self.stations.stations
+                                      if self.stations else [])]}
+            if cmd == "save" and args:
+                return self._save_station(" ".join(args))
             if cmd == "volume" and len(args) == 1:
                 self.volume_db = float(args[0])
                 return {"ok": "volume", "db": self.volume_db}
@@ -429,6 +457,21 @@ class CommandProcessor:
         elif tok.endswith("k"):
             tok, mult = tok[:-1], 1_000
         return int(round(float(tok) * mult))
+
+    def _save_station(self, name: str) -> dict:
+        """Record the current tuning in the station list (the reference's
+        programList add, program-list.cpp:33-60) and persist it."""
+        if self.stations is None:
+            from ..io.stations import StationList
+            self.stations = StationList()
+        hz = (self.center_hz + self.lo_hz if self.center_hz is not None
+              else self.lo_hz)
+        self.stations.add(name, hz)
+        if self.stations_path:
+            self.stations.save(self.stations_path)
+        return {"ok": "save", "name": name, "frequency_hz": hz,
+                **({"path": self.stations_path} if self.stations_path
+                   else {})}
 
     def _hw_command(self, cmd, args):
         src = self.source

@@ -369,3 +369,38 @@ def test_cli_follow_control_socket_retune(two_station_iq, tmp_path):
     assert report["control"]["retunes"] == 1
     assert report["control"]["final_lo_hz"] == 200_000
     assert report["rds"]["pi_code"] == f"0x{PI_B:04X}"
+
+
+def test_station_list_tuning(two_station_iq, tmp_path):
+    """tune <name> resolves through the station list (the programList
+    slots, program-list.cpp:33-60); save <name> records the current tuning
+    and persists it."""
+    import jax.numpy as jnp
+    from sdrjfm_tpu.io.stations import StationList
+    from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
+                                            default_controls)
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+    from sdrjfm_tpu.runtime.stream import run_offline
+
+    sl = StationList()
+    sl.add("Station B", 200_000)
+    path = str(tmp_path / "stations.json")
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    chan = ScriptedChannel({2: ["tune station b"],
+                           4: ["save Station A  ", "stations"],
+                           6: ["tune Nowhere FM"]})
+    proc = CommandProcessor(rx, chan, lo_hz=-200_000, stations=sl,
+                            stations_path=path)
+    controls = default_controls()._replace(
+        lo_freq_hz=jnp.asarray(-200_000, jnp.int32))
+    run_offline(rx, two_station_iq[:8 * rx.cfg.block_in], controls,
+                command_hook=proc.apply)
+    # name lookup is case/space-insensitive and tuned to B's offset
+    assert chan.responses[0]["lo_hz"] == 200_000
+    # save recorded the *current* tuning under the new name + persisted;
+    # same frequency = same channel, so the existing entry is renamed
+    assert chan.responses[1]["frequency_hz"] == 200_000
+    names = [s["name"] for s in chan.responses[2]["stations"]]
+    assert names == ["Station A"]
+    assert StationList.load(path).stations[0].name == "Station A"
+    assert "unknown station" in chan.responses[3]["error"]
