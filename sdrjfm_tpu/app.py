@@ -500,7 +500,11 @@ def cmd_rx(args) -> int:
         if args.stations:
             from .io.stations import StationList
             stations = StationList.load(args.stations)
-        ctl_channel = ControlChannel(args.control)
+        try:
+            ctl_channel = ControlChannel(args.control)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
         ctl_proc = CommandProcessor(
             rx, ctl_channel, lo_hz=args.freq_offset,
             afc_active=args.afc,
@@ -772,8 +776,6 @@ def cmd_scan(args) -> int:
     from .io.wavio import read_iq_wav
     from .models.bandscan import raw_to_c64, scan_band, scan_capture
     from .models.receiver import Receiver, ReceiverConfig
-    from .rds.blocksync import BlockSynchronizer, Group
-    from .rds.groups import GroupDecoder
 
     from .io.wavio import is_riff, read_iq_raw
     if args.iq.startswith(("rtl_tcp://", "rtltcp://")):
@@ -841,21 +843,12 @@ def cmd_scan(args) -> int:
         n = min(len(iq), int(args.seconds * C.INPUT_RATE))
         rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="block",
                                      audio_filter_hz=15000))
+        from .models.bandscan import decode_rds_hit
         per_station = demodulate_stations(rx, iq[:n], found)
         for entry, res in zip(results, per_station):
             entry["pilot_locked"] = bool(res["meta"]["pilot_locked"])
             if res["rds_bits"] is not None:
-                sync = BlockSynchronizer()
-                dec = GroupDecoder()
-                grp = Group()
-                sync.push_bits(res["rds_bits"], grp, on_group=dec.decode)
-                r = dec.result
-                if sync.groups_decoded:
-                    entry.update(pi_code=f"0x{r.pi_code:04X}",
-                                 station=r.station_label.strip(),
-                                 pty=r.pty_text,
-                                 groups=sync.groups_decoded,
-                                 ber=sync.bit_error_rate)
+                entry.update(decode_rds_hit(res["rds_bits"]))
             print(f"  offset {entry['offset_hz']:+d} Hz: {entry}",
                   file=sys.stderr)
     if args.stations:

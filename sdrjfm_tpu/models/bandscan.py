@@ -179,7 +179,13 @@ def scan_band(rx: Receiver, source,
         n_cap = max(blocks * T, n_id)
         raw = source.read_block(n_cap, timeout_ms)
         if len(raw) < blocks * T:
-            break                                       # source ended
+            # source ended / outage outlasted timeout_ms: report the abort
+            # loudly — a partial sweep must not read as a station-free band
+            if log is not None:
+                log(f"scan ABORTED at {center / 1e6:.1f} MHz: source ended "
+                    f"({len(raw)}/{blocks * T} frames); "
+                    f"{len(chans) - i + len(group)} channels unscanned")
+            break
         iq_c = raw_to_c64(raw, source.fmt)
         offsets = [c - center for c in group]
         hit, contrast = sc.decide(
@@ -197,31 +203,48 @@ def scan_band(rx: Receiver, source,
                     "contrast_db": float(c)} for o, c in hits]
         if identify_seconds > 0 and len(iq_c) >= T:
             from .multistation import demodulate_stations
-            from ..rds.blocksync import BlockSynchronizer, Group
-            from ..rds.groups import GroupDecoder
             id_rx = _identify_rx(rx)
             per = demodulate_stations(id_rx, iq_c, [o for o, _ in hits])
             for entry, res in zip(entries, per):
                 entry["pilot_locked"] = bool(res["meta"]["pilot_locked"])
                 if res.get("rds_bits") is not None:
-                    sync, dec, grp = (BlockSynchronizer(), GroupDecoder(),
-                                      Group())
-                    sync.push_bits(res["rds_bits"], grp, on_group=dec.decode)
-                    if sync.groups_decoded:
-                        r = dec.result
-                        # prefer the majority vote: a live capture can start
-                        # mid-loop/mid-group and a Meggitt miscorrection on
-                        # the seam could slip one wrong PI through
-                        pi = getattr(r, "pi_voted", 0) or r.pi_code
-                        name = getattr(r, "station_label_voted", "")
-                        if not name.strip():
-                            name = r.station_label
-                        entry.update(pi_code=f"0x{pi:04X}",
-                                     station=name.strip(),
-                                     pty=r.pty_text,
-                                     groups=sync.groups_decoded)
+                    entry.update(decode_rds_hit(res["rds_bits"]))
         results.extend(entries)
-    return results
+    # a strong carrier at a stop boundary can also trip its grid neighbour
+    # in the NEXT window — per-stop clustering can't see that, so dedupe
+    # adjacent absolute frequencies across the whole sweep
+    results.sort(key=lambda e: e["freq_hz"])
+    deduped: List[dict] = []
+    for e in results:
+        if deduped and e["freq_hz"] - deduped[-1]["freq_hz"] <= grid_hz:
+            if e["contrast_db"] > deduped[-1]["contrast_db"]:
+                deduped[-1] = e
+        else:
+            deduped.append(e)
+    return deduped
+
+
+def decode_rds_hit(bits) -> dict:
+    """Host-stack RDS decode of one identified station's bit stream.
+
+    Shared by the hardware sweep and the file-scan identify path.  Prefers
+    the majority-voted PI/name: a live capture can start mid-loop/mid-group
+    and a Meggitt miscorrection on the seam could slip one wrong PI
+    through.  Returns {} when no group decodes."""
+    from ..rds.blocksync import BlockSynchronizer, Group
+    from ..rds.groups import GroupDecoder
+    sync, dec, grp = BlockSynchronizer(), GroupDecoder(), Group()
+    sync.push_bits(bits, grp, on_group=dec.decode)
+    if not sync.groups_decoded:
+        return {}
+    r = dec.result
+    pi = getattr(r, "pi_voted", 0) or r.pi_code
+    name = getattr(r, "station_label_voted", "")
+    if not name.strip():
+        name = r.station_label
+    return {"pi_code": f"0x{pi:04X}", "station": name.strip(),
+            "pty": r.pty_text, "groups": sync.groups_decoded,
+            "ber": sync.bit_error_rate}
 
 
 _ID_RX_CACHE: dict = {}
@@ -233,8 +256,7 @@ def _identify_rx(rx: Receiver) -> Receiver:
     if rx.cfg.rds != "off":
         return rx
     import dataclasses
-    key = (rx.cfg.block_fm,)
+    key = dataclasses.replace(rx.cfg, rds="block", audio_filter_hz=15000)
     if key not in _ID_RX_CACHE:
-        _ID_RX_CACHE[key] = Receiver(dataclasses.replace(
-            rx.cfg, rds="block", audio_filter_hz=15000))
+        _ID_RX_CACHE[key] = Receiver(key)
     return _ID_RX_CACHE[key]

@@ -320,6 +320,22 @@ class CommandProcessor:
     def tune(self, hz: int, state):
         """setTuner semantics; returns (state, response_dict)."""
         hz = int(hz)
+        if self.center_hz is None and abs(hz) > self.max_offset and \
+                self.source is not None and \
+                hasattr(self.source, "set_frequency"):
+            # retunable source whose center was never declared (rx without
+            # --tune-hz): an absolute-frequency tune adopts the hardware
+            # center — without it the whole session could never
+            # setVFOFrequency
+            self._retune_hw(hz)
+            self.lo_hz = 0
+            self.afc.reset()
+            self.retunes += 1
+            state = self.rx.retune_reset(state)
+            if self.on_retune is not None:
+                self.on_retune()
+            return state, {"tuned_hz": hz, "center_hz": hz, "lo_hz": 0,
+                           "retune_reset": True}
         if self.center_hz is not None:
             prev_eff = self.center_hz + self.lo_hz
             off = hz - self.center_hz
@@ -359,18 +375,22 @@ class CommandProcessor:
         if meta:
             self._last_meta = meta
         stop = False
-        dirty = False
+        # dirty iff a command actually changed a traced control: read-only
+        # commands (status/stations/gain/agc/ppm) must NOT rebuild the
+        # Controls pytree — fresh eager scalars mean extra H2D transfers
+        # interleaved with dispatches, the axon tunnel's worst case
+        sig0 = self._ctl_sig()
         for line in (self.channel.poll() if self.channel else []):
             self.commands_handled += 1
             resp = self._dispatch(line, state)
-            if isinstance(resp, tuple):       # (state, resp) from tune
+            if isinstance(resp, tuple):       # (state, resp) from tune/mute
                 state, resp = resp
             if resp is STOP:
                 stop = True
                 resp = {"ok": "stopping"}
             if self.channel is not None and resp is not None:
                 self.channel.respond(resp)
-            dirty = True
+        dirty = self._ctl_sig() != sig0
         if self.afc_active and meta and "dc_if" in meta:
             before = self.afc.offset
             self.afc.update(meta["dc_if"])
@@ -383,12 +403,21 @@ class CommandProcessor:
                     hasattr(self.source, "set_frequency"):
                 eff = self.lo_hz + self.afc.offset
                 if abs(eff) > self.max_offset:
-                    self._retune_hw(int(round(self.center_hz + eff)))
-                    self.lo_hz = 0
-                    self.afc.reset()
+                    try:
+                        self._retune_hw(int(round(self.center_hz + eff)))
+                        self.lo_hz = 0
+                        self.afc.reset()
+                    except OSError as e:      # hardware gone mid-loop: the
+                        if self.channel:      # read path surfaces EOF/drops
+                            self.channel.respond(
+                                {"error": f"AFC hardware retune failed: {e}"})
         if dirty:
             controls = self._controls(controls)
         return state, controls, stop
+
+    def _ctl_sig(self):
+        return (self.lo_hz, self.volume_db, self.balance, self.muted,
+                self.squelch_level)
 
     # -- dispatch ---------------------------------------------------------
     def _dispatch(self, line: str, state):
@@ -427,8 +456,17 @@ class CommandProcessor:
                 self.balance = max(-100, min(100, int(args[0])))
                 return {"ok": "balance", "balance": self.balance}
             if cmd == "mute" and len(args) == 1:
-                self.muted = args[0].lower() in ("on", "1", "true")
-                return {"ok": "mute", "muted": self.muted}
+                want = args[0].lower() in ("on", "1", "true")
+                unmuting = self.muted and not want
+                self.muted = want
+                resp = {"ok": "mute", "muted": self.muted}
+                if unmuting:
+                    # click-free unmute: restart the audio ramp
+                    # (fm-processor.cpp:130-131 mute ramp semantics)
+                    state = state._replace(ramp_remaining=jnp.asarray(
+                        self.rx.cfg.working_rate // 2, jnp.int32))
+                    resp["ramp"] = True
+                return state, resp
             if cmd == "squelch" and len(args) == 1:
                 self.squelch_level = max(0.0, min(100.0, float(args[0])))
                 return {"ok": "squelch", "level": self.squelch_level}
@@ -445,6 +483,10 @@ class CommandProcessor:
                 return STOP
         except (ValueError, IndexError) as e:
             return {"error": f"{line!r}: {e}"}
+        except OSError as e:
+            # a dead hardware control plane must not kill the receive run —
+            # the read path surfaces the outage as EOF/drops/reconnects
+            return {"error": f"{line!r}: hardware command failed: {e}"}
         return {"error": f"unknown command {line!r}"}
 
     @staticmethod

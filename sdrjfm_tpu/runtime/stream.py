@@ -20,6 +20,17 @@ from ..models.receiver import (Controls, Output, Receiver, default_controls,
                                meta_dict_from_vec)
 
 
+def _jit_init_state(rx: Receiver):
+    """Initial carry produced BY XLA rather than as eager buffers.
+
+    On the axon runtime, eagerly-created complex64 buffers wedge the
+    session: any later device->host transfer (audio, meta, RDS counts)
+    fails UNIMPLEMENTED (see CLAUDE.md).  jit outputs don't trigger it,
+    and the values are identical, so every runner defaults to this.
+    """
+    return jax.jit(rx.init_state)()
+
+
 def _wire_dtype(cfg):
     import jax.numpy as jnp
     return {"c64": jnp.complex64, "i16": jnp.int16,
@@ -65,7 +76,7 @@ def run_offline_scan(rx: Receiver, iq: np.ndarray,
     nblocks = len(iq) // T
     assert nblocks > 0
     blocks = _stage_blocks(iq, cfg, nblocks)
-    state = init_state if init_state is not None else rx.init_state()
+    state = init_state if init_state is not None else _jit_init_state(rx)
 
     @jax.jit
     def run(state, blocks, controls):
@@ -239,7 +250,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     step = rx.jit_step()
-    state = init_state if init_state is not None else rx.init_state()
+    state = init_state if init_state is not None else _jit_init_state(rx)
 
     wire = _wire_dtype(cfg)
     audio_acc, metas, bits_acc, biq_acc = [], [], [], []
@@ -326,7 +337,7 @@ def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     wire = _wire_dtype(cfg)
-    state = init_state if init_state is not None else rx.init_state()
+    state = init_state if init_state is not None else _jit_init_state(rx)
 
     @jax.jit
     def runc(state, controls, blocks):
@@ -437,7 +448,7 @@ def run_live(rx: Receiver, source,
     controls = controls or default_controls()
     T = cfg.block_in
     step = rx.jit_step()
-    state = init_state if init_state is not None else rx.init_state()
+    state = init_state if init_state is not None else _jit_init_state(rx)
     wire = _wire_dtype(cfg)
 
     audio_acc, metas, bits_acc, biq_acc = [], [], [], []
@@ -539,7 +550,7 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     step = rx.jit_step()
-    state = init_state if init_state is not None else rx.init_state()
+    state = init_state if init_state is not None else _jit_init_state(rx)
 
     wire = _wire_dtype(cfg)
     audio, metas, bits, biq = [], [], [], []
@@ -574,8 +585,9 @@ def run_offline(rx: Receiver, iq: np.ndarray,
         if stop:
             break
 
-    res = StreamResult(audio=np.concatenate(audio, axis=0), meta=metas,
-                       final_state=state)
+    res = StreamResult(audio=(np.concatenate(audio, axis=0) if audio
+                              else np.zeros((0, 2), np.float32)),
+                       meta=metas, final_state=state)
     if bits:
         res.rds_bits = np.concatenate(bits)
         res.rds_iq = np.concatenate(biq)

@@ -133,13 +133,15 @@ def test_volume_balance_mute_squelch_commands(two_station_iq):
     from sdrjfm_tpu.runtime.stream import run_offline
 
     rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
-    chan = ScriptedChannel({6: ["mute on"], 9: ["mute off"],
-                            12: ["volume -20"], 15: ["balance 100"],
-                            18: ["squelch 50", "afc off", "bogus x"]})
+    # unmute restarts the 0.5 s audio ramp (~6 blocks), so later amplitude
+    # comparisons use blocks after it has fully recovered (block >= 14)
+    chan = ScriptedChannel({5: ["mute on"], 7: ["mute off"],
+                            14: ["volume -20"], 17: ["balance 100"],
+                            19: ["squelch 50", "afc off", "bogus x"]})
     proc = CommandProcessor(rx, chan, lo_hz=-200_000)
     controls = default_controls()._replace(
         lo_freq_hz=jnp.asarray(-200_000, jnp.int32))
-    res = run_offline(rx, two_station_iq[:20 * rx.cfg.block_in], controls,
+    res = run_offline(rx, two_station_iq[:22 * rx.cfg.block_in], controls,
                       command_hook=proc.apply)
     blk = BLOCK_FM // 4
     rms = lambda x: float(np.sqrt(np.mean(np.square(x))))   # noqa: E731
@@ -147,14 +149,14 @@ def test_volume_balance_mute_squelch_commands(two_station_iq):
     # samples into the head of the next block (the click-free seam the
     # carry contract guarantees), so assertions use the block AFTER the
     # command's first effective block, or skip the head.
-    ref = rms(res.audio[11 * blk:12 * blk])
-    assert rms(res.audio[8 * blk:9 * blk]) < 1e-6 * max(ref, 1e-9)  # muted
-    assert ref > 0.1                                                # back
+    ref = rms(res.audio[14 * blk:15 * blk])      # post-unmute-ramp, 0 dB
+    assert rms(res.audio[7 * blk:8 * blk]) < 1e-6 * max(ref, 1e-9)  # muted
+    assert ref > 0.1                             # recovered after unmute
     # -20 dB volume: ~0.1x amplitude
-    assert rms(res.audio[13 * blk:14 * blk]) == pytest.approx(
+    assert rms(res.audio[16 * blk:17 * blk]) == pytest.approx(
         0.1 * ref, rel=0.35)
     # balance 100 = full right: left channel attenuated to 0
-    lr = res.audio[16 * blk + 200:17 * blk]
+    lr = res.audio[18 * blk + 200:19 * blk]
     assert rms(lr[:, 0]) < 1e-6 and rms(lr[:, 1]) > 0
     # errors reported, not fatal
     errs = [r for r in chan.responses if "error" in r]
@@ -404,3 +406,88 @@ def test_station_list_tuning(two_station_iq, tmp_path):
     assert names == ["Station A"]
     assert StationList.load(path).stations[0].name == "Station A"
     assert "unknown station" in chan.responses[3]["error"]
+
+
+class _FailingSource:
+    def set_frequency(self, hz):
+        raise IOError("rtl_tcp command send failed")
+
+    def set_gain_mode(self, on):
+        raise IOError("rtl_tcp command send failed")
+
+
+def test_hw_command_failure_is_error_not_crash():
+    """A dead hardware control plane returns an error response; it must
+    not abort the receive run (the read path surfaces the outage)."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    proc = CommandProcessor(rx, None, center_hz=94_300_000,
+                            source=_FailingSource())
+    state = rx.init_state()
+    resp = proc._dispatch("gain 297", state)
+    assert "hardware command failed" in resp["error"]
+    resp = proc._dispatch("tune 101.7M", state)
+    if isinstance(resp, tuple):
+        resp = resp[1]
+    assert "hardware command failed" in resp["error"]
+
+
+def test_absolute_tune_adopts_center_without_tune_hz():
+    """rtl_tcp + --control without --tune-hz: an absolute-frequency tune
+    adopts the hardware center instead of erroring forever."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    src = _FakeTunableSource()
+    proc = CommandProcessor(rx, None, source=src)     # center unknown
+    state = rx.init_state()
+    state, resp = proc.tune(94_300_000, state)
+    assert resp == {"tuned_hz": 94_300_000, "center_hz": 94_300_000,
+                    "lo_hz": 0, "retune_reset": True}
+    assert src.freqs == [94_300_000] and proc.center_hz == 94_300_000
+    # and from there, window-relative tuning works normally
+    state, resp = proc.tune(94_500_000, state)
+    assert resp["lo_hz"] == 200_000 and src.freqs == [94_300_000]
+
+
+def test_unmute_fires_ramp_and_status_is_clean():
+    """Unmute restarts the audio ramp (click-free); a read-only status
+    command must NOT rebuild the Controls pytree (no H2D churn)."""
+    import numpy as np
+    from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
+                                            default_controls)
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    chan = ScriptedChannel({0: ["status"], 1: ["mute on"], 2: ["mute off"]})
+    proc = CommandProcessor(rx, chan)
+    state = rx.init_state()
+    state = state._replace(ramp_remaining=state.ramp_remaining * 0)
+    controls = default_controls()
+
+    s1, c1, _ = proc.apply(state, controls, {})
+    assert c1 is controls               # status: untouched pytree
+    s2, c2, _ = proc.apply(s1, c1, {})
+    assert c2 is not c1                 # mute on: rebuilt
+    assert int(np.asarray(s2.ramp_remaining)) == 0
+    s3, c3, _ = proc.apply(s2, c2, {})
+    assert chan.responses[2]["ramp"] is True
+    assert int(np.asarray(s3.ramp_remaining)) == rx.cfg.working_rate // 2
+
+
+def test_quit_during_drop_blocks_returns_empty(two_station_iq):
+    """A quit command during the drop_blocks warm-up yields an empty
+    StreamResult, not a concatenate crash."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+    from sdrjfm_tpu.runtime.stream import run_offline
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    chan = ScriptedChannel({0: ["quit"]})
+    proc = CommandProcessor(rx, chan)
+    res = run_offline(rx, two_station_iq[:4 * rx.cfg.block_in],
+                      drop_blocks=2, command_hook=proc.apply)
+    assert res.audio.shape == (0, 2)
