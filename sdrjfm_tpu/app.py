@@ -194,6 +194,11 @@ def _build_rx_parser(sub):
                         "the control channel can `tune <name>` through it "
                         "and `save <name>` the current tuning back (the "
                         "reference's programList, program-list.cpp:33-60)")
+    p.add_argument("--meter", action="store_true",
+                   help="live one-line status meter on stderr (pilot lock/"
+                        "strength, peaks, drops, latency, RDS PI/PS — the "
+                        "GUI's persistent displays; --follow/--pcm-out "
+                        "runners)")
 
 
 def _build_scan_parser(sub):
@@ -538,6 +543,40 @@ def cmd_rx(args) -> int:
     follow_dumps = None
     if args.follow and want_taps:
         follow_dumps = _FollowDumps(args, cfg)
+    meter = None
+    if args.meter:
+        if not (args.follow or args.pcm_out):
+            print("--meter needs a streaming runner (--follow or "
+                  "--pcm-out)", file=sys.stderr)
+            return 2
+        _mtr = {"t": 0.0, "blocks": 0}
+        blk_s = cfg.block_fm / cfg.fm_rate
+
+        def meter(meta):
+            _mtr["blocks"] += 1
+            now = time.time()
+            # repaint at most ~4 Hz in real time, but always every 8th
+            # block so faster-than-real-time runs still show progress
+            if now - _mtr["t"] < 0.25 and _mtr["blocks"] % 8:
+                return
+            _mtr["t"] = now
+            parts = [f"[{_mtr['blocks'] * blk_s:7.1f}s]"]
+            if ctl_proc is not None:
+                parts.append(f"lo={ctl_proc.lo_hz:+d}")
+            lock = "LOCK" if meta.get("pilot_locked") else "----"
+            parts.append(f"pilot={lock} {meta.get('pilot_strength', 0):.2f}")
+            parts.append(f"L={meta.get('peak_left_db', 0):+5.1f}dB "
+                         f"R={meta.get('peak_right_db', 0):+5.1f}dB")
+            if "ingest_dropped" in meta:
+                parts.append(f"drops={meta['ingest_dropped']}")
+            if "latency_ms" in meta:
+                parts.append(f"lat={meta['latency_ms']:3.0f}ms")
+            if live_rds is not None and live_rds.sync.groups_decoded:
+                r = live_rds.result
+                parts.append(f"PI=0x{r.pi_code:04X} "
+                             f"PS={r.station_label.strip()!r}")
+            sys.stderr.write("\r" + " ".join(parts) + "   ")
+            sys.stderr.flush()
     try:
         with profile_cm:
             if args.follow:
@@ -593,6 +632,7 @@ def cmd_rx(args) -> int:
                         rx, src, controls, init_state=init_state,
                         max_blocks=max_blocks,
                         on_audio=sink.write if sink else None,
+                        on_meta=meter,
                         rds_feedback=live_rds.feed if live_rds else None,
                         controls_update=controls_update,
                         command_hook=command_hook,
@@ -609,6 +649,7 @@ def cmd_rx(args) -> int:
                 from .runtime.stream import run_streaming
                 res = run_streaming(rx, iq, controls, init_state=init_state,
                                     on_audio=sink.write,
+                                    on_meta=meter,
                                     rds_feedback=(live_rds.feed if live_rds
                                                   else None),
                                     controls_update=controls_update,
@@ -636,6 +677,8 @@ def cmd_rx(args) -> int:
         if ctl_channel is not None:
             ctl_channel.close()
     dt = time.time() - t0
+    if meter is not None:
+        sys.stderr.write("\n")
     if args.profile:
         print(f"wrote profiler trace to {args.profile}", file=sys.stderr)
     n_in = (len(res.meta) if args.follow

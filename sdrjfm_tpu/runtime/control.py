@@ -309,8 +309,18 @@ class CommandProcessor:
             self.balance = -int(round(100 - rg * 100))
 
     # -- tuning ----------------------------------------------------------
+    @staticmethod
+    def _tuner_of(source):
+        """The hardware tuning entry of either source contract:
+        `set_frequency` (runtime.native_source) or `set_vfo_frequency`
+        (the io.source deviceHandler protocol)."""
+        if source is None:
+            return None
+        return (getattr(source, "set_frequency", None)
+                or getattr(source, "set_vfo_frequency", None))
+
     def _retune_hw(self, new_center: int):
-        self.source.set_frequency(int(new_center))
+        self._tuner_of(self.source)(int(new_center))
         self.center_hz = int(new_center)
         self.hw_retunes += 1
         flush = getattr(self.source, "flush", None)
@@ -321,8 +331,7 @@ class CommandProcessor:
         """setTuner semantics; returns (state, response_dict)."""
         hz = int(hz)
         if self.center_hz is None and abs(hz) > self.max_offset and \
-                self.source is not None and \
-                hasattr(self.source, "set_frequency"):
+                self._tuner_of(self.source) is not None:
             # retunable source whose center was never declared (rx without
             # --tune-hz): an absolute-frequency tune adopts the hardware
             # center — without it the whole session could never
@@ -340,8 +349,7 @@ class CommandProcessor:
             prev_eff = self.center_hz + self.lo_hz
             off = hz - self.center_hz
             if abs(off) > self.max_offset:
-                if self.source is None or \
-                        not hasattr(self.source, "set_frequency"):
+                if self._tuner_of(self.source) is None:
                     return state, {"error": f"offset {off} outside window "
                                             f"±{self.max_offset} and "
                                             "source is not retunable"}
@@ -399,8 +407,8 @@ class CommandProcessor:
             # AFC drives the hardware: when the corrected offset leaves the
             # window, step the front end and rebase (the reference's AFC
             # feeds setTuner, radio.cpp:1786-1809 -> :1040-1075)
-            if self.center_hz is not None and self.source is not None and \
-                    hasattr(self.source, "set_frequency"):
+            if self.center_hz is not None and \
+                    self._tuner_of(self.source) is not None:
                 eff = self.lo_hz + self.afc.offset
                 if abs(eff) > self.max_offset:
                     try:

@@ -213,3 +213,16 @@ def test_cli_follow_reports_latency(capture16, tmp_path):
     lat = json.load(open(rep))["latency_ms"]
     assert lat["block"] == round(1e3 * BLOCK_FM / C.FM_RATE, 1)
     assert 0 < lat["p50"] <= lat["p95"] <= lat["max"]
+
+
+def test_cli_meter_line(capture16, tmp_path, capsys):
+    """--meter paints the live one-line status display (pilot lock, peaks,
+    drops, latency, RDS) on stderr — the GUI's persistent meters."""
+    from sdrjfm_tpu.app import main
+
+    path, _ = capture16
+    assert main(["rx", "--iq", path, "--follow", "--no-pace", "--rds",
+                 "--block-fm", str(BLOCK_FM), "--meter"]) == 0
+    err = capsys.readouterr().err
+    assert "pilot=LOCK" in err and "lat=" in err and "drops=" in err
+    assert "PI=0x51F0" in err
