@@ -199,6 +199,15 @@ def _build_rx_parser(sub):
                         "strength, peaks, drops, latency, RDS PI/PS — the "
                         "GUI's persistent displays; --follow/--pcm-out "
                         "runners)")
+    p.add_argument("--config",
+                   help="settings profile JSON (the reference's "
+                        ".jsdr-fm.ini QSettings, main.cpp:33,69): keys are "
+                        "rx flag names and become the flag defaults "
+                        "(explicit flags still win); on clean exit the "
+                        "final tuning/volume/balance/squelch are saved "
+                        "back, so the next run resumes where this one "
+                        "left off")
+    return p
 
 
 def _build_scan_parser(sub):
@@ -810,6 +819,38 @@ def cmd_rx(args) -> int:
     else:
         json.dump(report, sys.stdout, indent=2)
         print()
+    if args.config:
+        # save-on-exit (the reference writes its QSettings back on close):
+        # runtime-control edits win over the flags the run started with
+        import os
+        profile = {}
+        if os.path.exists(args.config):
+            try:
+                profile = json.load(open(args.config))
+            except (ValueError, OSError):
+                profile = {}
+        profile.update({
+            "freq_offset": (int(ctl_proc.lo_hz) if ctl_proc
+                            else int(args.freq_offset)),
+            "volume_db": (round(ctl_proc.volume_db, 2) if ctl_proc
+                          else args.volume_db),
+            "balance": ctl_proc.balance if ctl_proc else args.balance,
+            "mode": args.mode, "decoder": args.decoder,
+            "deemphasis": args.deemphasis, "squelch": args.squelch,
+            "rds": bool(args.rds), "block_fm": args.block_fm,
+        })
+        if ctl_proc is not None and ctl_proc.squelch_level is not None:
+            profile["squelch_level"] = ctl_proc.squelch_level
+        elif not sq_auto:
+            profile["squelch_level"] = args.squelch_level
+        if ctl_proc is not None and ctl_proc.center_hz is not None:
+            profile["tune_hz"] = int(ctl_proc.center_hz)
+        elif args.tune_hz:
+            profile["tune_hz"] = int(args.tune_hz)
+        with open(args.config, "w") as f:
+            json.dump(profile, f, indent=2)
+            f.write("\n")
+        print(f"saved settings profile to {args.config}", file=sys.stderr)
     return 0
 
 
@@ -936,12 +977,28 @@ def cmd_synth(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
     ap = argparse.ArgumentParser(prog="sdrjfm_tpu",
                                  description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
-    _build_rx_parser(sub)
+    p_rx = _build_rx_parser(sub)
     _build_scan_parser(sub)
     _build_synth_parser(sub)
+    # settings profile: keys become flag DEFAULTS before parsing, so
+    # explicit flags still win (the reference restores .jsdr-fm.ini the
+    # same way: saved state first, UI actions override)
+    if "--config" in argv:
+        cfgpath = argv[argv.index("--config") + 1]
+        if os.path.exists(cfgpath):
+            try:
+                profile = json.load(open(cfgpath))
+            except (ValueError, OSError) as e:
+                print(f"--config {cfgpath}: {e}", file=sys.stderr)
+                return 2
+            dests = {a.dest for a in p_rx._actions}
+            p_rx.set_defaults(**{k: v for k, v in profile.items()
+                                 if k in dests})
     args = ap.parse_args(argv)
     if args.cmd == "rx":
         return cmd_rx(args)
