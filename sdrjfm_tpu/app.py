@@ -262,6 +262,24 @@ def _build_synth_parser(sub):
                         "--iq-format auto/i16 — half the input bytes)")
 
 
+def _rtltcp_hostport(url: str):
+    hostport = url.split("://", 1)[1]
+    host, _, port = hostport.partition(":")
+    return host, int(port or 1234)
+
+
+def _lf_row(block, rate: int, zoom: int):
+    """One LF-scope waterfall row (dB) + its kHz axis from one block's tap
+    (shared by the offline spectra writer and the live follow-mode one)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .models import scopes
+    xa, amp, _ = scopes.lf_spectrum(
+        jnp.asarray(block).astype(jnp.complex64), rate, zoom_factor=zoom)
+    return (20.0 * np.log10(np.maximum(np.asarray(amp), 1e-10)),
+            np.asarray(xa))
+
+
 class _FollowDumps:
     """Incremental dump/tap writers for live (--follow) runs.
 
@@ -288,29 +306,26 @@ class _FollowDumps:
         self.hf = None
 
     def on_taps(self, taps):
+        # taps holds device arrays: only the taps actually written are
+        # pulled to the host (the writers' np.asarray does the fetch)
         import numpy as np
         if self.w_input is not None and "input_dc" in taps:
-            self.w_input.write_iq(taps["input_dc"])
+            self.w_input.write_iq(np.asarray(taps["input_dc"]))
         if self.w_if is not None and "if_filtered" in taps:
-            self.w_if.write_iq(taps["if_filtered"])
+            self.w_if.write_iq(np.asarray(taps["if_filtered"]))
         if self.w_mpx is not None and "demod" in taps:
-            self.w_mpx.write(taps["demod"])
+            self.w_mpx.write(np.asarray(taps["demod"]))
         if self.args.spectra:
             from .models import scopes
-            import jax.numpy as jnp
             if self.hf is None and "input_dc" in taps:
-                self.hf = np.asarray(scopes.spectrum_db(
-                    jnp.asarray(taps["input_dc"])))
+                self.hf = np.asarray(scopes.spectrum_db(taps["input_dc"]))
             lf = self.args.lf_plot
             if lf in taps:
                 rate = (self.cfg.rds_rate if lf.startswith("rds")
                         else self.cfg.fm_rate)
-                xa, amp, _ = scopes.lf_spectrum(
-                    jnp.asarray(taps[lf]).astype(jnp.complex64), rate,
-                    zoom_factor=self.args.lf_zoom)
-                self.lf_rows.append(20.0 * np.log10(
-                    np.maximum(np.asarray(amp), 1e-10)))
-                self.lf_axis = np.asarray(xa)
+                row, self.lf_axis = _lf_row(taps[lf], rate,
+                                            self.args.lf_zoom)
+                self.lf_rows.append(row)
 
     def finish(self, res):
         import numpy as np
@@ -597,10 +612,9 @@ def cmd_rx(args) -> int:
                 pace = not args.no_pace
                 loop = args.loop_seconds is not None
                 if is_rtltcp:
-                    hostport = args.iq.split("://", 1)[1]
-                    host, _, port = hostport.partition(":")
+                    host, port = _rtltcp_hostport(args.iq)
                     src = RtlTcpSource(
-                        host, int(port or 1234), rate=C.INPUT_RATE,
+                        host, port, rate=C.INPUT_RATE,
                         reconnect_timeout_ms=int(args.reconnect_timeout
                                                  * 1000))
                     # settings in the rtlsdr-handler's order: ppm, gain
@@ -780,13 +794,11 @@ def cmd_rx(args) -> int:
             nb = len(d) // blk
             rows = []
             for i in range(nb):
-                xa, amp, _ = scopes.lf_spectrum(
-                    jnp.asarray(d[i * blk:(i + 1) * blk]).astype(
-                        jnp.complex64), lf_rate, zoom_factor=args.lf_zoom)
-                rows.append(20.0 * np.log10(np.maximum(np.asarray(amp),
-                                                       1e-10)))
+                row, xa = _lf_row(d[i * blk:(i + 1) * blk], lf_rate,
+                                  args.lf_zoom)
+                rows.append(row)
             out_npz["lf_waterfall_db"] = scopes.waterfall(rows)
-            out_npz["lf_x_axis_khz"] = np.asarray(xa)
+            out_npz["lf_x_axis_khz"] = xa
         elif args.lf_plot != "demod":
             print(f"--lf-plot {args.lf_plot}: tap not present in this "
                   "config", file=sys.stderr)
@@ -866,10 +878,9 @@ def cmd_scan(args) -> int:
         # full-band hardware sweep: step the dongle across the raster and
         # decide every channel of each stop in one vmapped dispatch
         from .runtime.native_source import RtlTcpSource
-        hostport = args.iq.split("://", 1)[1]
-        host, _, port = hostport.partition(":")
+        host, port = _rtltcp_hostport(args.iq)
         rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
-        src = RtlTcpSource(host, int(port or 1234), rate=C.INPUT_RATE)
+        src = RtlTcpSource(host, port, rate=C.INPUT_RATE)
         src.start()
         try:
             hits = scan_band(

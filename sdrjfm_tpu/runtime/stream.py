@@ -484,9 +484,9 @@ def run_live(rx: Receiver, source,
         t_ready = t_next_ready
         if on_taps is not None and out.taps:
             # incremental live dumps (fm-processor.cpp:338-349,448-455
-            # dump while receiving) — the host writes while the device
-            # computes the next block
-            on_taps({k: np.asarray(v) for k, v in out.taps.items()})
+            # dump while receiving) — values stay device arrays so the
+            # callback only pays D2H for the taps it actually writes
+            on_taps(dict(out.taps))
         if on_meta is not None:
             on_meta(meta)
         if blk_bits is not None:
