@@ -491,3 +491,24 @@ def test_quit_during_drop_blocks_returns_empty(two_station_iq):
     res = run_offline(rx, two_station_iq[:4 * rx.cfg.block_in],
                       drop_blocks=2, command_hook=proc.apply)
     assert res.audio.shape == (0, 2)
+
+
+def test_control_channel_stdin(monkeypatch):
+    """'-' reads commands from stdin (responses go to stderr so stdout can
+    carry PCM or the report)."""
+    import io
+    import sys as _sys
+    from sdrjfm_tpu.runtime.control import ControlChannel
+
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("volume -3\nquit\n"))
+    chan = ControlChannel("-")
+    try:
+        assert chan.mode == "stdin"
+        deadline = time.time() + 5
+        lines = []
+        while len(lines) < 2 and time.time() < deadline:
+            lines += chan.poll()
+            time.sleep(0.02)
+        assert lines == ["volume -3", "quit"]
+    finally:
+        chan.close()
