@@ -10,13 +10,122 @@ The metric is how many times faster than real time (2.304 MS/s complex IQ in,
 chain.  vs_baseline is against the reference receiver's implicit performance
 bar of 1.0x real time on a desktop CPU core (BASELINE.md — the reference
 publishes no other numbers); the BASELINE.json north-star target is >=100x.
+
+Timing integrity
+----------------
+The axon tunnel runtime has shown a session-wide regression (first seen
+2026-08-20/21) in which `block_until_ready` returns after a constant
+~0.1 ms regardless of the work dispatched (a 2 GiB reduce and a 64 MiB
+reduce "complete" in the same 80 us; a chained 4096^3 matmul reads
+20 PFLOPS).  Any wall-clock number taken through it on such a session is
+an artifact.  This script therefore:
+
+1. runs a work-scaling probe (chained matmuls, 16x work ratio): if the
+   measured ratio is sane, times the receive chain the normal way
+   (`method: "block_until_ready"`);
+2. otherwise falls back to device->host-forced slope timing: the chain is
+   wrapped in a fori_loop of R repeats whose final scalar is *fetched*
+   (a D2H transfer cannot complete before the work it depends on), and
+   the per-repeat time is the slope between two R values, which cancels
+   the constant fetch/dispatch overhead (`method: "d2h_slope"`);
+3. if D2H itself is wedged (the same regression family also stalls
+   transfers indefinitely on some sessions), prints the last committed
+   trustworthy measurement with `"stale": true` rather than a fabricated
+   fresh one (`method: "stale_last_good"`).
 """
 
+import glob
 import json
+import os
+import re
 import sys
+import threading
 import time
 
 import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _fetch_with_timeout(arr, timeout_s):
+    """Force completion by fetching `arr` to host; None if it wedges."""
+    box = {}
+
+    def work():
+        try:
+            box["v"] = np.asarray(arr)
+        except Exception as e:  # transfer died (e.g. UNIMPLEMENTED)
+            box["e"] = repr(e)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("v")
+
+
+def _timing_integrity():
+    """Measure how wall time through block_until_ready scales with work.
+
+    Returns (ratio, dt_small_s): chained bf16 4096^2 matmuls, 32 links vs
+    2 links (16x the FLOPs, same dispatch count).  A functional runtime
+    shows ratio >> 1; the broken-completion-signaling runtime shows ~1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = jax.device_put(jnp.full((4096, 4096), 0.5, jnp.bfloat16))
+
+    def chain(n):
+        def f(p):
+            q = p
+            for _ in range(n):
+                q = (q @ p) * jnp.bfloat16(2.44140625e-4)
+            return q
+        return jax.jit(f)
+
+    times = []
+    for f in (chain(2), chain(32)):
+        r = f(a)
+        jax.block_until_ready(r)
+        dt = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            r = f(a)
+            jax.block_until_ready(r)
+            dt = min(dt, time.time() - t0)
+        times.append(dt)
+    return times[1] / max(times[0], 1e-9), times[0]
+
+
+def _last_good_value():
+    """Newest committed BENCH_r*.json value (the last trustworthy run)."""
+    best_round, val = -1, None
+    for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("stale"):
+            continue  # never chain stale onto stale
+        if int(m.group(1)) > best_round and "value" in parsed:
+            best_round, val = int(m.group(1)), parsed["value"]
+    return val, best_round
+
+
+def _emit(realtime_x, **extra):
+    rec = {
+        "metric": "fm_stereo_rds_realtime_x",
+        "value": round(realtime_x, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime_x, 1),
+    }
+    rec.update(extra)
+    print(json.dumps(rec))
+    sys.stdout.flush()
 
 
 def main():
@@ -24,8 +133,7 @@ def main():
     import jax.numpy as jnp
     from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
-    from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
-                                            default_controls)
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
 
     # i16 wire format: the capture-faithful input (the reference's file
     # source is 16-bit PCM wav, filehulp.cpp:61-63, and its handlers convert
@@ -36,8 +144,7 @@ def main():
     cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000,
                          iq_format="i16")
     rx = Receiver(cfg)
-    step = rx.jit_step()
-    controls = default_controls()
+    controls = rx.initial_controls()
     state = rx.init_state()
 
     # realistic input: 64 distinct blocks of synthesized stereo+RDS signal
@@ -54,6 +161,22 @@ def main():
     i16 = synth.iq_to_i16(iq_np)
     blocks = jax.device_put(jnp.asarray(i16)
                             .reshape(nblocks, cfg.block_in, 2))
+
+    if jax.default_backend() == "cpu":
+        ratio = float("inf")  # host timing has no tunnel to distrust (and
+        # the probe's chained 4096^3 matmuls would take minutes on a CPU)
+    else:
+        ratio, _ = _timing_integrity()
+    if ratio >= 3.0:
+        return _bench_normal(jax, C, rx, state, controls, blocks,
+                             nblocks, ratio)
+    return _bench_forced(jax, jnp, C, rx, state, controls, blocks,
+                         nblocks, ratio)
+
+
+def _bench_normal(jax, C, rx, state, controls, blocks, nblocks, ratio):
+    """Healthy runtime: time the one-dispatch 64-block scan directly."""
+    import time as _time
 
     # timed: scan-driven run — the whole multi-block pipeline is ONE
     # dispatched program that keeps and returns every output (audio, RDS
@@ -77,20 +200,91 @@ def main():
         jax.block_until_ready(outs.audio)
     dt = float("inf")
     for _ in range(20):
-        t0 = time.time()
+        t0 = _time.time()
         st, outs = run(st, controls, blocks)
         jax.block_until_ready(outs.audio)
-        dt = min(dt, time.time() - t0)
-    sps = nblocks * cfg.block_in / dt
-    realtime_x = sps / C.INPUT_RATE
-
-    print(json.dumps({
-        "metric": "fm_stereo_rds_realtime_x",
-        "value": round(realtime_x, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(realtime_x, 1),
-    }))
+        dt = min(dt, _time.time() - t0)
+    sps = nblocks * rx.cfg.block_in / dt
+    extra = {}
+    if ratio != float("inf"):
+        extra["integrity_ratio"] = round(ratio, 2)
+    _emit(sps / C.INPUT_RATE, method="block_until_ready", **extra)
     return 0
+
+
+def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
+    """Broken completion signaling: D2H-forced slope timing, else stale."""
+
+    def stale(why):
+        val, rnd = _last_good_value()
+        if val is None:
+            _emit(0.0, stale=True, timing_integrity="FAILED", reason=why)
+        else:
+            _emit(val, stale=True, timing_integrity="FAILED",
+                  stale_source=f"BENCH_r{rnd:02d}.json", reason=why)
+        # a wedged D2H thread can hang interpreter teardown
+        os._exit(0)
+
+    why = (f"runtime completion-signaling regression: 16x device work "
+           f"changed block_until_ready wall time only {ratio:.2f}x "
+           f"(see bench.py docstring)")
+
+    def repeat_fn(R):
+        @jax.jit
+        def run_repeat(state):
+            def rep(i, carry):
+                st, acc = carry
+
+                def body(s, blk):
+                    s, out = rx.step(s, controls, blk)
+                    # cheap data dependency on every output so nothing in
+                    # the chain is dead-code-eliminated inside the loop
+                    return s, jnp.sum(out.audio)
+
+                st, sums = jax.lax.scan(body, st, blocks)
+                return (st, acc + jnp.sum(sums) * jnp.float32(1e-6))
+
+            st, acc = jax.lax.fori_loop(0, R, rep, (state,
+                                                    jnp.float32(0.0)))
+            return acc
+        return run_repeat
+
+    R_LO, R_HI = 512, 4608
+    f_lo, f_hi = repeat_fn(R_LO), repeat_fn(R_HI)
+    deadline = time.time() + 900.0
+
+    # warmup: compile + the first-D2H lottery (on regressed sessions the
+    # first transfer has been observed to take 100 s or never return)
+    v = _fetch_with_timeout(f_lo(state), 300.0)
+    if v is None or not np.isfinite(float(v)):
+        stale(why + "; D2H-forced fallback also unavailable "
+                    "(first fetch wedged or non-finite)")
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(2):
+            if time.time() > deadline:
+                return None
+            t0 = time.time()
+            r = _fetch_with_timeout(f(state), 240.0)
+            if r is None:
+                return None
+            best = min(best, time.time() - t0)
+        return best
+
+    dt_lo = timed(f_lo)
+    dt_hi = timed(f_hi) if dt_lo is not None else None
+    if dt_lo is None or dt_hi is None or dt_hi <= dt_lo:
+        stale(why + "; D2H-forced slope timing failed "
+                    f"(dt_lo={dt_lo}, dt_hi={dt_hi})")
+    t_rep = (dt_hi - dt_lo) / (R_HI - R_LO)
+    sps = nblocks * rx.cfg.block_in / t_rep
+    _emit(sps / C.INPUT_RATE, method="d2h_slope",
+          integrity_ratio=round(ratio, 2),
+          note="completion-signaling regression active; slope of "
+               f"R={R_LO}->{R_HI} chained repeats, completion forced by a "
+               "scalar fetch that data-depends on every repeat")
+    os._exit(0)
 
 
 if __name__ == "__main__":
