@@ -60,6 +60,11 @@ def _build_rx_parser(sub):
                    choices=["am", "pll", "mixed", "complex_baseband",
                             "real_baseband", "difference"])
     p.add_argument("--sound", default="stereo")
+    p.add_argument("--panorama", type=float, default=1.0,
+                   help="stereo panorama factor for --mode stereo_pano "
+                        "(slider/100: 0 mono .. 1 stereo .. 2 widened, "
+                        "fm-processor.cpp:277-279); live-editable via the "
+                        "control channel's pano/mono commands")
     p.add_argument("--rds", action="store_true", help="decode RDS")
     p.add_argument("--rds-decoder", default="block",
                    choices=["block", "scan1", "scan2", "scan3"],
@@ -353,7 +358,7 @@ def cmd_rx(args) -> int:
     import jax.numpy as jnp
     from . import constants as C
     from .io.wavio import read_iq_wav, write_wav
-    from .models.receiver import Controls, Receiver, ReceiverConfig
+    from .models.receiver import Receiver, ReceiverConfig
     from .runtime.stream import run_offline, run_offline_scanned
 
     from .io.wavio import is_riff, probe_wav, read_iq_raw, read_iq_wav_raw
@@ -448,7 +453,8 @@ def cmd_rx(args) -> int:
         cfg_kw["fm_bandwidth_hz"] = fm_bw_hz
     cfg = ReceiverConfig(
         block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
-        sound=args.sound, pss_active=not args.no_pss,
+        sound=args.sound, panorama=args.panorama,
+        pss_active=not args.no_pss,
         deemphasis_us=deemph_us, audio_filter_hz=args.audio_filter,
         input_filter=input_filter, squelch=args.squelch,
         rds=args.rds_decoder if args.rds else "off",
@@ -470,13 +476,11 @@ def cmd_rx(args) -> int:
     rg = (100 + balance) / 100.0 if balance < 0 else 1.0
     sq_auto = str(args.squelch_level).lower() == "auto"
     sq_level = 0.0 if sq_auto else float(args.squelch_level)
-    controls = Controls(
+    controls = rx.initial_controls()._replace(
         lo_freq_hz=jnp.asarray(args.freq_offset, jnp.int32),
         volume=jnp.asarray(10.0 ** (args.volume_db / 20.0), jnp.float32),
         left_gain=jnp.asarray(lg, jnp.float32),
         right_gain=jnp.asarray(rg, jnp.float32),
-        input_lgain=jnp.asarray(1.0, jnp.float32),
-        input_rgain=jnp.asarray(1.0, jnp.float32),
         squelch_level=jnp.asarray(sq_level, jnp.float32))
     if sq_auto:
         if args.follow:
@@ -850,6 +854,13 @@ def cmd_rx(args) -> int:
             "mode": args.mode, "decoder": args.decoder,
             "deemphasis": args.deemphasis, "squelch": args.squelch,
             "rds": bool(args.rds), "block_fm": args.block_fm,
+            # live sound-mode / panorama edits win over the starting flags
+            # (the reference persists both: radio.cpp:504-505 pano slider,
+            # the channelSelector combobox)
+            "sound": (ctl_proc.sound if ctl_proc is not None
+                      and ctl_proc.sound is not None else args.sound),
+            "panorama": (ctl_proc.pano if ctl_proc is not None
+                         and ctl_proc.pano is not None else args.panorama),
         })
         if ctl_proc is not None and ctl_proc.squelch_level is not None:
             profile["squelch_level"] = ctl_proc.squelch_level

@@ -129,6 +129,21 @@ class ReceiverConfig:
         return self.block_fm // (self.fm_rate // self.rds_rate)
 
 
+# Output channel mixes for the reference's live sound-mode selector
+# (fmProcessor::setSoundMode, fm-processor.cpp:273-275; the GUI channel
+# combobox radio.cpp:976 switches it while receiving).  Each is a 2x2
+# matrix applied to the matrixed (left, right): the selector is linear, so
+# switching it is a traced-control edit — no recompile, no stream break.
+SOUND_MATRICES = {
+    "stereo":          ((1.0, 0.0), (0.0, 1.0)),
+    "stereo_swapped":  ((0.0, 1.0), (1.0, 0.0)),
+    "left":            ((1.0, 0.0), (1.0, 0.0)),
+    "right":           ((0.0, 1.0), (0.0, 1.0)),
+    "left_plus_right": ((0.5, 0.5), (0.5, 0.5)),
+    "left_minus_right": ((0.5, -0.5), (0.5, -0.5)),
+}
+
+
 class Controls(NamedTuple):
     """Runtime-tunable controls (traced; changing them never recompiles)."""
     lo_freq_hz: Array         # int32 — tuning offset (set_localOscillator)
@@ -138,14 +153,25 @@ class Controls(NamedTuple):
     input_lgain: Array        # f32 — input attenuation (setAttenuation)
     input_rgain: Array
     squelch_level: Array      # f32 0..100
+    # stereo panorama multiplier on the L-R difference: 0 = mono, 1 =
+    # stereo, up to 2 = widened (setStereoPanorama slider/100,
+    # fm-processor.cpp:277-279 applied at :520-521) — live mono switching
+    # rides this too
+    pano: Array = np.float32(1.0)
+    # 2x2 output channel mix (SOUND_MATRICES; setSoundMode live selector)
+    sound_mix: Array = np.asarray(SOUND_MATRICES["stereo"], np.float32)
 
 
-def default_controls() -> Controls:
+def default_controls(sound: str = "stereo", pano: float = 1.0) -> Controls:
     f = jnp.float32
     return Controls(jnp.asarray(0, jnp.int32), jnp.asarray(1.0, f),
                     jnp.asarray(1.0, f), jnp.asarray(1.0, f),
                     jnp.asarray(1.0, f), jnp.asarray(1.0, f),
-                    jnp.asarray(0.0, f))
+                    jnp.asarray(0.0, f),
+                    pano=jnp.asarray(pano, f),
+                    sound_mix=jnp.asarray(
+                        SOUND_MATRICES.get(sound,
+                                           SOUND_MATRICES["stereo"]), f))
 
 
 class Meta(NamedTuple):
@@ -322,6 +348,17 @@ class Receiver:
         assert cfg.block_rds % 2048 == 0
 
     # ------------------------------------------------------------------
+    def initial_controls(self) -> Controls:
+        """default_controls seeded from the static config: the sound-mode
+        channel mix from cfg.sound and the panorama multiplier from
+        cfg.panorama (stereo_pano mode) — so the traced live controls start
+        exactly where the static selectors point, and the control channel
+        can move them from there without a recompile."""
+        cfg = self.cfg
+        pano = cfg.panorama if cfg.mode == "stereo_pano" else 1.0
+        sound = cfg.sound if cfg.sound in SOUND_MATRICES else "stereo"
+        return default_controls(sound=sound, pano=pano)
+
     def init_state(self) -> ReceiverState:
         """Zero state, built under jit: the axon TPU backend wedges when
         eagerly-created complex64 buffers later mix with device→host
@@ -598,27 +635,28 @@ class Receiver:
         carrier_phase = base_phase - pss_off
         use_sin = cfg.sound == "left_minus_right_test"
         osc = jnp.sin(carrier_phase) if use_sin else jnp.cos(carrier_phase)
-        lr_diff = jnp.where(stereo_gate, 2.0 * osc * demod, 0.0)
-        if cfg.mode == "stereo_pano":
-            lr_diff = lr_diff * cfg.panorama
+        # panorama is a traced multiplier (setStereoPanorama slider/100,
+        # fm-processor.cpp:277-279, :520-521): 0 = runtime mono, 1 = stereo,
+        # 2 = widened.  initial_controls() seeds it from cfg.panorama in
+        # stereo_pano mode; the control channel edits it live.
+        lr_diff = jnp.where(stereo_gate, 2.0 * osc * demod, 0.0) \
+            * controls.pano
         left = lr_sum + lr_diff
         right = lr_sum - lr_diff
         if taps is not None:
             taps["af_sum"] = lr_sum
             taps["af_diff"] = lr_diff
         sound = cfg.sound
-        if sound == "stereo":
-            audio = jax.lax.complex(left, right)
-        elif sound == "stereo_swapped":
-            audio = jax.lax.complex(right, left)
-        elif sound == "left":
-            audio = jax.lax.complex(left, left)
-        elif sound == "right":
-            audio = jax.lax.complex(right, right)
-        elif sound == "left_plus_right":
-            audio = jax.lax.complex(lr_sum, lr_sum)
-        elif sound in ("left_minus_right", "left_minus_right_test"):
+        if sound == "left_minus_right_test":
+            # diagnostic mode (sin-phase oscillator) — static by design
             audio = jax.lax.complex(lr_diff, lr_diff)
+        elif sound in SOUND_MATRICES:
+            # live channel selector (setSoundMode, fm-processor.cpp:273):
+            # a traced 2x2 mix over (left, right); initial_controls() seeds
+            # it from cfg.sound, the control channel switches it mid-run
+            m = controls.sound_mix
+            audio = jax.lax.complex(m[0, 0] * left + m[0, 1] * right,
+                                    m[1, 0] * left + m[1, 1] * right)
         else:
             raise ValueError(f"unknown sound selector {sound!r}")
 

@@ -21,6 +21,12 @@ Wire protocol (one command per line; responses are JSON lines):
     volume <db>      gain in dB (setVolume)
     balance <n>      -100..100 (setSoundBalance)
     mute on|off      mute/unmute (mute ramp on unmute transitions)
+    sound <sel>      output channel mix: stereo|swapped|left|right|sum|diff
+                     (setSoundMode, fm-processor.cpp:273-275 — a traced 2x2
+                     mix, switched live with no recompile)
+    pano <0..200>    stereo panorama slider: 0 mono, 100 stereo, 200
+                     widened (setStereoPanorama, fm-processor.cpp:277-279)
+    mono on|off      runtime mono (pano 0 / restore previous)
     squelch <n>      squelch slider 0..100 (setSquelchValue)
     afc on|off       per-block AFC loop (radio.cpp:1786-1809)
     gain <tenth_db>  rtl_tcp manual tuner gain (implies gain mode manual)
@@ -269,6 +275,10 @@ class CommandProcessor:
         self.balance = 0
         self.muted = False
         self.squelch_level = None     # None = leave the CLI value alone
+        self.pano = None              # None = leave the seeded value alone
+        self.sound = None             # None = leave the seeded mix alone
+        self._pano_before_mono = None
+        self._seed_pano = 1.0         # adopted by seed_from()
         self.commands_handled = 0
         self.retunes = 0
         self.hw_retunes = 0
@@ -294,6 +304,13 @@ class CommandProcessor:
         if self.squelch_level is not None:
             controls = controls._replace(
                 squelch_level=jnp.asarray(self.squelch_level, jnp.float32))
+        if self.pano is not None:
+            controls = controls._replace(
+                pano=jnp.asarray(self.pano, jnp.float32))
+        if self.sound is not None:
+            from ..models.receiver import SOUND_MATRICES
+            controls = controls._replace(sound_mix=jnp.asarray(
+                SOUND_MATRICES[self.sound], jnp.float32))
         return controls
 
     def seed_from(self, controls) -> None:
@@ -307,6 +324,7 @@ class CommandProcessor:
             self.balance = int(round(100 - lg * 100))
         elif rg < 1.0:
             self.balance = -int(round(100 - rg * 100))
+        self._seed_pano = float(np.asarray(controls.pano))
 
     # -- tuning ----------------------------------------------------------
     @staticmethod
@@ -425,7 +443,7 @@ class CommandProcessor:
 
     def _ctl_sig(self):
         return (self.lo_hz, self.volume_db, self.balance, self.muted,
-                self.squelch_level)
+                self.squelch_level, self.pano, self.sound)
 
     # -- dispatch ---------------------------------------------------------
     def _dispatch(self, line: str, state):
@@ -475,6 +493,38 @@ class CommandProcessor:
                         self.rx.cfg.working_rate // 2, jnp.int32))
                     resp["ramp"] = True
                 return state, resp
+            if cmd == "sound" and len(args) == 1:
+                sel = {"swapped": "stereo_swapped",
+                       "sum": "left_plus_right",
+                       "diff": "left_minus_right"}.get(args[0].lower(),
+                                                       args[0].lower())
+                from ..models.receiver import SOUND_MATRICES
+                if sel not in SOUND_MATRICES:
+                    return {"error": f"unknown sound selector {args[0]!r} "
+                                     "(stereo|swapped|left|right|sum|diff)"}
+                self.sound = sel
+                return {"ok": "sound", "sound": sel}
+            if cmd == "pano" and len(args) == 1:
+                # reference slider range 0..200 -> factor /100
+                # (radio.cpp:1490-1492 -> fm-processor.cpp:277-279)
+                n = max(0.0, min(200.0, float(args[0])))
+                self.pano = n / 100.0
+                self._pano_before_mono = None
+                return {"ok": "pano", "pano": self.pano}
+            if cmd == "mono" and len(args) == 1:
+                want = args[0].lower() in ("on", "1", "true")
+                if want and self.pano != 0.0:
+                    # stash may be None = "whatever the run was seeded
+                    # with" (initial_controls' cfg.panorama); mono off
+                    # restores exactly that
+                    self._pano_before_mono = self.pano
+                    self.pano = 0.0
+                elif not want and self.pano == 0.0:
+                    self.pano = (self._pano_before_mono
+                                 if self._pano_before_mono is not None
+                                 else self._seed_pano)
+                    self._pano_before_mono = None
+                return {"ok": "mono", "mono": self.pano == 0.0}
             if cmd == "squelch" and len(args) == 1:
                 self.squelch_level = max(0.0, min(100.0, float(args[0])))
                 return {"ok": "squelch", "level": self.squelch_level}
@@ -552,6 +602,10 @@ class CommandProcessor:
             s["tuned_hz"] = self.center_hz + self.lo_hz
         if self.squelch_level is not None:
             s["squelch_level"] = self.squelch_level
+        if self.pano is not None:
+            s["pano"] = self.pano
+        if self.sound is not None:
+            s["sound"] = self.sound
         src = self.source
         if src is not None:
             dev = {}

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.receiver import (Controls, Output, Receiver, default_controls,
+from ..models.receiver import (Controls, Output, Receiver,
                                meta_dict_from_vec)
 
 
@@ -71,7 +71,7 @@ def run_offline_scan(rx: Receiver, iq: np.ndarray,
     import jax
 
     cfg = rx.cfg
-    controls = controls or default_controls()
+    controls = controls if controls is not None else rx.initial_controls()
     T = cfg.block_in
     nblocks = len(iq) // T
     assert nblocks > 0
@@ -245,7 +245,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                                       drop_blocks, keep_outputs,
                                       collect_meta, chunk_blocks)
     cfg = rx.cfg
-    controls = controls or default_controls()
+    controls = controls if controls is not None else rx.initial_controls()
     T = cfg.block_in
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
@@ -332,7 +332,7 @@ def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
     import jax
 
     cfg = rx.cfg
-    controls = controls or default_controls()
+    controls = controls if controls is not None else rx.initial_controls()
     T = cfg.block_in
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
@@ -445,7 +445,7 @@ def run_live(rx: Receiver, source,
     as run_streaming's.
     """
     cfg = rx.cfg
-    controls = controls or default_controls()
+    controls = controls if controls is not None else rx.initial_controls()
     T = cfg.block_in
     step = rx.jit_step()
     state = init_state if init_state is not None else _jit_init_state(rx)
@@ -545,7 +545,7 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     controls for subsequent blocks (traced args: no recompile).
     """
     cfg = rx.cfg
-    controls = controls or default_controls()
+    controls = controls if controls is not None else rx.initial_controls()
     T = cfg.block_in
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"

@@ -512,3 +512,80 @@ def test_control_channel_stdin(monkeypatch):
         assert lines == ["volume -3", "quit"]
     finally:
         chan.close()
+
+
+class TestSoundModeAndPanorama:
+    """Live sound-mode / panorama switching (setSoundMode
+    fm-processor.cpp:273-275, setStereoPanorama :277-279 applied :520-521;
+    the GUI flips both while receiving) as traced-control edits serviced
+    between blocks — no recompile, no stream break."""
+
+    @pytest.fixture(scope="class")
+    def stereo_iq(self):
+        n_fm = 26 * BLOCK_FM
+        t = np.arange(n_fm) / C.FM_RATE
+        mpx = synth.synth_mpx(0.7 * np.sin(2 * np.pi * 1000.0 * t),
+                              0.7 * np.sin(2 * np.pi * 3000.0 * t),
+                              synth.MPXParams())
+        return synth.fm_modulate(mpx, C.FM_RATE)
+
+    @staticmethod
+    def _band(x, f):
+        w = np.hanning(len(x))
+        X = np.abs(np.fft.rfft(x * w)) ** 2
+        b = int(round(f * len(x) / C.WORKING_RATE))
+        return X[b - 3:b + 4].sum()
+
+    def test_runtime_switches(self, stereo_iq):
+        from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+        from sdrjfm_tpu.runtime.control import CommandProcessor
+        from sdrjfm_tpu.runtime.stream import run_offline
+
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, rds="off",
+                                     audio_filter_hz=15000))
+        chan = ScriptedChannel({8: ["sound swapped"], 13: ["sound stereo"],
+                                16: ["pano 0"], 19: ["mono off"],
+                                22: ["status"]})
+        proc = CommandProcessor(rx, chan)
+        res = run_offline(rx, stereo_iq, command_hook=proc.apply)
+        blk = BLOCK_FM // 4
+        aud = res.audio
+
+        def blocks(a, b):
+            return aud[a * blk:b * blk]
+
+        # settled stereo before the swap: 1 kHz lives in the left channel
+        pre = blocks(5, 8)
+        assert self._band(pre[:, 0], 1000) > 3 * self._band(pre[:, 1], 1000)
+        # after 'sound swapped' (+1 block for the hook, +1 for the
+        # decimator-carry seam): 1 kHz lives in the RIGHT channel
+        sw = blocks(10, 13)
+        assert self._band(sw[:, 1], 1000) > 3 * self._band(sw[:, 0], 1000)
+        # back to stereo
+        back = blocks(15, 16)
+        assert self._band(back[:, 0], 1000) > 3 * self._band(back[:, 1],
+                                                             1000)
+        # 'pano 0' = runtime mono: channels collapse to identical
+        mono = blocks(18, 19)
+        np.testing.assert_allclose(mono[:, 0], mono[:, 1], atol=2e-6)
+        # 'mono off' restores stereo separation
+        rest = blocks(21, 24)
+        assert self._band(rest[:, 0], 1000) > 3 * self._band(rest[:, 1],
+                                                             1000)
+        st = chan.responses[-1]
+        assert st["pano"] == 1.0 and st["sound"] == "stereo"
+
+    def test_initial_controls_seed(self):
+        from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
+                                                SOUND_MATRICES)
+
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, rds="off",
+                                     sound="left"))
+        c = rx.initial_controls()
+        np.testing.assert_array_equal(np.asarray(c.sound_mix),
+                                      np.asarray(SOUND_MATRICES["left"],
+                                                 np.float32))
+        rx2 = Receiver(ReceiverConfig(block_fm=BLOCK_FM, rds="off",
+                                      mode="stereo_pano", panorama=0.4))
+        assert float(np.asarray(rx2.initial_controls().pano)) == \
+            pytest.approx(0.4)
