@@ -63,40 +63,6 @@ def _fetch_with_timeout(arr, timeout_s):
     return box.get("v")
 
 
-def _timing_integrity():
-    """Measure how wall time through block_until_ready scales with work.
-
-    Returns (ratio, dt_small_s): chained bf16 4096^2 matmuls, 32 links vs
-    2 links (16x the FLOPs, same dispatch count).  A functional runtime
-    shows ratio >> 1; the broken-completion-signaling runtime shows ~1.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    a = jax.device_put(jnp.full((4096, 4096), 0.5, jnp.bfloat16))
-
-    def chain(n):
-        def f(p):
-            q = p
-            for _ in range(n):
-                q = (q @ p) * jnp.bfloat16(2.44140625e-4)
-            return q
-        return jax.jit(f)
-
-    times = []
-    for f in (chain(2), chain(32)):
-        r = f(a)
-        jax.block_until_ready(r)
-        dt = float("inf")
-        for _ in range(5):
-            t0 = time.time()
-            r = f(a)
-            jax.block_until_ready(r)
-            dt = min(dt, time.time() - t0)
-        times.append(dt)
-    return times[1] / max(times[0], 1e-9), times[0]
-
-
 def _last_good_value():
     """Newest committed BENCH_r*.json value (the last trustworthy run)."""
     best_round, val = -1, None
@@ -162,12 +128,9 @@ def main():
     blocks = jax.device_put(jnp.asarray(i16)
                             .reshape(nblocks, cfg.block_in, 2))
 
-    if jax.default_backend() == "cpu":
-        ratio = float("inf")  # host timing has no tunnel to distrust (and
-        # the probe's chained 4096^3 matmuls would take minutes on a CPU)
-    else:
-        ratio, _ = _timing_integrity()
-    if ratio >= 3.0:
+    from sdrjfm_tpu.runtime.timing_integrity import check_timing_integrity
+    ok, ratio = check_timing_integrity()
+    if ok:
         return _bench_normal(jax, C, rx, state, controls, blocks,
                              nblocks, ratio)
     return _bench_forced(jax, jnp, C, rx, state, controls, blocks,

@@ -56,6 +56,15 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from sdrjfm_tpu.runtime.timing_integrity import check_timing_integrity
+
+    ok, ratio = check_timing_integrity()
+    if not ok:
+        print(json.dumps({"error": "timing integrity probe failed",
+                          "integrity_ratio": round(ratio, 2),
+                          "see": "TIMING_INTEGRITY_r03.md"}))
+        return 1
+
     from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
     from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
@@ -140,4 +149,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    _sys.exit(main())

@@ -61,6 +61,14 @@ def run_variant(iq_np, block_fm, iq_format, nblocks):
 def main():
     from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
+    from sdrjfm_tpu.runtime.timing_integrity import check_timing_integrity
+
+    ok, ratio = check_timing_integrity()
+    if not ok:
+        print(json.dumps({"error": "timing integrity probe failed",
+                          "integrity_ratio": round(ratio, 2),
+                          "see": "TIMING_INTEGRITY_r03.md"}))
+        return 1
 
     total_fm = 64 * 131072
     t = np.arange(total_fm) / C.FM_RATE
@@ -77,4 +85,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    _sys.exit(main())
