@@ -371,54 +371,67 @@ def cmd_rx(args) -> int:
         print("--gain/--agc/--ppm/--reconnect-timeout control an rtl_tcp "
               "device; pass --iq rtl_tcp://host:port", file=sys.stderr)
         return 2
-    is_wav = False if (is_rtltcp or is_pipe) else is_riff(args.iq)
-    if is_rtltcp:
-        # live network SDR: u8 stream over the native ring (streaming only)
-        args.follow = True
-        iq_fmt, rate = "u8", C.INPUT_RATE
-    elif is_pipe:
-        # stdin / FIFO: headerless stream from any external SDR tool
-        # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming only
-        if iq_fmt not in ("u8", "i16"):
-            print("pipe/stdin input: pass --iq-format u8 or i16",
-                  file=sys.stderr)
+    # input probing/loading runs under the reference's device-load
+    # contract (radio.cpp:758-831: every handler constructor throws, the
+    # radio catches and warns "loading device failed" instead of dying):
+    # a missing/unreadable/corrupt capture is a clean message + exit 2,
+    # not a traceback
+    try:
+        is_wav = False if (is_rtltcp or is_pipe) else is_riff(args.iq)
+        if is_rtltcp:
+            # live network SDR: u8 stream over the ring (streaming only)
+            args.follow = True
+            iq_fmt, rate = "u8", C.INPUT_RATE
+        elif is_pipe:
+            # stdin / FIFO: headerless stream from any external SDR tool
+            # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming
+            # only
+            if iq_fmt not in ("u8", "i16"):
+                print("pipe/stdin input: pass --iq-format u8 or i16",
+                      file=sys.stderr)
+                return 2
+            args.follow = True
+            rate = C.INPUT_RATE
+        elif not is_wav:
+            # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
+            if iq_fmt not in ("u8", "i16"):
+                print("raw (non-wav) capture: pass --iq-format u8 or i16",
+                      file=sys.stderr)
+                return 2
+            rate = C.INPUT_RATE
+            if not args.follow:
+                iq = read_iq_raw(args.iq, iq_fmt)
+        elif iq_fmt == "u8":
+            print("--iq-format u8 applies to raw captures; wav inputs use "
+                  "auto/c64/i16", file=sys.stderr)
             return 2
-        args.follow = True
-        rate = C.INPUT_RATE
-    elif not is_wav:
-        # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
-        if iq_fmt not in ("u8", "i16"):
-            print("raw (non-wav) capture: pass --iq-format u8 or i16",
-                  file=sys.stderr)
-            return 2
-        rate = C.INPUT_RATE
-        if not args.follow:
-            iq = read_iq_raw(args.iq, iq_fmt)
-    elif iq_fmt == "u8":
-        print("--iq-format u8 applies to raw captures; wav inputs use "
-              "auto/c64/i16", file=sys.stderr)
-        return 2
-    elif args.follow:
-        # streaming: header-only probe, the native ring does the reading
-        info = probe_wav(args.iq)
-        rate = info.rate
-        pcm16 = info.fmt == 1 and info.sampwidth == 2 and info.channels == 2
-        if iq_fmt == "i16" and not pcm16:
-            print("--iq-format i16 needs a 16-bit PCM stereo wav",
-                  file=sys.stderr)
-            return 2
-        iq_fmt = "i16" if (pcm16 and iq_fmt in ("auto", "i16")) else "c64"
-    elif iq_fmt in ("auto", "i16"):
-        try:
-            iq, rate = read_iq_wav_raw(args.iq)
-            iq_fmt = "i16"
-        except ValueError:
-            if iq_fmt == "i16":
-                raise
+        elif args.follow:
+            # streaming: header-only probe, the native ring does the
+            # reading
+            info = probe_wav(args.iq)
+            rate = info.rate
+            pcm16 = (info.fmt == 1 and info.sampwidth == 2
+                     and info.channels == 2)
+            if iq_fmt == "i16" and not pcm16:
+                print("--iq-format i16 needs a 16-bit PCM stereo wav",
+                      file=sys.stderr)
+                return 2
+            iq_fmt = "i16" if (pcm16 and iq_fmt in ("auto", "i16")) \
+                else "c64"
+        elif iq_fmt in ("auto", "i16"):
+            try:
+                iq, rate = read_iq_wav_raw(args.iq)
+                iq_fmt = "i16"
+            except ValueError:
+                if iq_fmt == "i16":
+                    raise
+                iq, rate = read_iq_wav(args.iq)
+                iq_fmt = "c64"
+        else:
             iq, rate = read_iq_wav(args.iq)
-            iq_fmt = "c64"
-    else:
-        iq, rate = read_iq_wav(args.iq)
+    except (OSError, ValueError) as e:
+        print(f"loading device failed: {args.iq}: {e}", file=sys.stderr)
+        return 2
     if rate != C.INPUT_RATE:
         print(f"warning: capture rate {rate} != {C.INPUT_RATE}; "
               "proceeding with the contract rate", file=sys.stderr)
@@ -615,40 +628,48 @@ def cmd_rx(args) -> int:
                 from .runtime.stream import run_live
                 pace = not args.no_pace
                 loop = args.loop_seconds is not None
-                if is_rtltcp:
-                    host, port = _rtltcp_hostport(args.iq)
-                    src = RtlTcpSource(
-                        host, port, rate=C.INPUT_RATE,
-                        reconnect_timeout_ms=int(args.reconnect_timeout
-                                                 * 1000))
-                    # settings in the rtlsdr-handler's order: ppm, gain
-                    # mode/gain, AGC, then the frequency
-                    # (rtlsdr-handler.cpp:102-116)
-                    if args.ppm is not None:
-                        src.set_freq_correction(args.ppm)
-                    if args.gain is not None:
-                        src.set_gain_mode(True)
-                        src.set_gain(args.gain)
-                    if args.agc:
-                        src.set_agc(True)
-                        src.set_gain_mode(False)
-                    if args.tune_hz:
-                        src.set_frequency(args.tune_hz)
-                    if ctl_proc is not None:
-                        ctl_proc.source = src
+                # live-source constructors throw on failure; the
+                # reference's device-load contract turns that into a
+                # warning, not a crash (radio.cpp:758-831)
+                try:
+                    if is_rtltcp:
+                        host, port = _rtltcp_hostport(args.iq)
+                        src = RtlTcpSource(
+                            host, port, rate=C.INPUT_RATE,
+                            reconnect_timeout_ms=int(args.reconnect_timeout
+                                                     * 1000))
+                        # settings in the rtlsdr-handler's order: ppm, gain
+                        # mode/gain, AGC, then the frequency
+                        # (rtlsdr-handler.cpp:102-116)
+                        if args.ppm is not None:
+                            src.set_freq_correction(args.ppm)
+                        if args.gain is not None:
+                            src.set_gain_mode(True)
+                            src.set_gain(args.gain)
+                        if args.agc:
+                            src.set_agc(True)
+                            src.set_gain_mode(False)
                         if args.tune_hz:
-                            ctl_proc.center_hz = int(args.tune_hz)
-                elif is_pipe:
-                    src = NativePipeSource(args.iq, fmt=iq_fmt,
-                                           rate=C.INPUT_RATE)
-                elif iq_fmt == "c64":
-                    src = NativeWavSource(args.iq, pace=pace, loop=loop)
-                elif is_wav:
-                    src = NativeRawSource(args.iq, pace=pace, loop=loop)
-                else:
-                    src = NativeRawSource(args.iq, fmt=iq_fmt,
-                                          rate=C.INPUT_RATE, pace=pace,
-                                          loop=loop)
+                            src.set_frequency(args.tune_hz)
+                        if ctl_proc is not None:
+                            ctl_proc.source = src
+                            if args.tune_hz:
+                                ctl_proc.center_hz = int(args.tune_hz)
+                    elif is_pipe:
+                        src = NativePipeSource(args.iq, fmt=iq_fmt,
+                                               rate=C.INPUT_RATE)
+                    elif iq_fmt == "c64":
+                        src = NativeWavSource(args.iq, pace=pace, loop=loop)
+                    elif is_wav:
+                        src = NativeRawSource(args.iq, pace=pace, loop=loop)
+                    else:
+                        src = NativeRawSource(args.iq, fmt=iq_fmt,
+                                              rate=C.INPUT_RATE, pace=pace,
+                                              loop=loop)
+                except (OSError, ValueError) as e:
+                    print(f"loading device failed: {args.iq}: {e}",
+                          file=sys.stderr)
+                    return 2
                 max_blocks = None
                 if args.loop_seconds:
                     max_blocks = max(1, int(args.loop_seconds * C.INPUT_RATE)
@@ -891,7 +912,11 @@ def cmd_scan(args) -> int:
         from .runtime.native_source import RtlTcpSource
         host, port = _rtltcp_hostport(args.iq)
         rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
-        src = RtlTcpSource(host, port, rate=C.INPUT_RATE)
+        try:
+            src = RtlTcpSource(host, port, rate=C.INPUT_RATE)
+        except (OSError, ValueError) as e:
+            print(f"loading device failed: {args.iq}: {e}", file=sys.stderr)
+            return 2
         src.start()
         try:
             hits = scan_band(
@@ -917,19 +942,23 @@ def cmd_scan(args) -> int:
         json.dump({"hits": hits}, sys.stdout, indent=2)
         print()
         return 0
-    if is_riff(args.iq):
-        iq, rate = read_iq_wav(args.iq)
-    else:
-        # headerless raw capture: scan is not a perf path, so convert to
-        # complex host-side with the device conventions
-        # (rtlsdr-handler.cpp:285-294 for u8)
-        if args.iq_format not in ("u8", "i16"):
-            print("raw (non-wav) capture: pass --iq-format u8 or i16",
-                  file=sys.stderr)
-            return 2
-        iq = raw_to_c64(read_iq_raw(args.iq, args.iq_format),
-                        args.iq_format)
-        rate = C.INPUT_RATE
+    try:
+        if is_riff(args.iq):
+            iq, rate = read_iq_wav(args.iq)
+        else:
+            # headerless raw capture: scan is not a perf path, so convert
+            # to complex host-side with the device conventions
+            # (rtlsdr-handler.cpp:285-294 for u8)
+            if args.iq_format not in ("u8", "i16"):
+                print("raw (non-wav) capture: pass --iq-format u8 or i16",
+                      file=sys.stderr)
+                return 2
+            iq = raw_to_c64(read_iq_raw(args.iq, args.iq_format),
+                            args.iq_format)
+            rate = C.INPUT_RATE
+    except (OSError, ValueError) as e:
+        print(f"loading device failed: {args.iq}: {e}", file=sys.stderr)
+        return 2
     rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
     T = rx.cfg.block_in
     if len(iq) < T:

@@ -24,7 +24,8 @@ class WavInfo:
 
 
 def _parse_chunks(buf: bytes):
-    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    if not (buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE file")
     pos = 12
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
@@ -47,7 +48,8 @@ def _parse_fmt_and_data(buf: bytes):
                           fmt=a_fmt)
         elif cid == b"data":
             data = buf[off : off + size]
-    assert fmt is not None and data is not None, "missing fmt/data chunk"
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
     return fmt, data
 
 
@@ -145,7 +147,8 @@ def probe_wav(path: str) -> WavInfo:
     must not pull the whole capture into memory)."""
     with open(path, "rb") as f:
         buf = f.read(4096)
-    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    if not (buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE file")
     pos = 12
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]

@@ -371,3 +371,37 @@ def test_chunked_scan_runner_bit_exact():
     np.testing.assert_array_equal(r1.audio, r2.audio)
     np.testing.assert_array_equal(r1.rds_bits, r2.rds_bits)
     assert r1.meta == r2.meta
+
+
+class TestDeviceLoadContract:
+    """The reference's device-load contract (radio.cpp:758-831): every
+    handler constructor throws, the radio catches and warns 'loading
+    device failed' instead of dying.  The CLI mirror: clean message +
+    exit 2, never a traceback."""
+
+    def test_missing_capture(self, tmp_path, capsys):
+        rc = main(["rx", "--iq", str(tmp_path / "nope.wav"),
+                   "--audio", str(tmp_path / "a.wav")])
+        assert rc == 2
+        assert "loading device failed" in capsys.readouterr().err
+
+    def test_corrupt_riff(self, tmp_path, capsys):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"RIFF\x10\x00\x00\x00JUNKjunkjunk")
+        rc = main(["rx", "--iq", str(p), "--audio",
+                   str(tmp_path / "a.wav")])
+        assert rc == 2
+        assert "loading device failed" in capsys.readouterr().err
+
+    def test_dead_rtltcp_server(self, tmp_path, capsys):
+        # port 1 on localhost: connection refused, immediately
+        rc = main(["rx", "--iq", "rtltcp://127.0.0.1:1",
+                   "--audio", str(tmp_path / "a.wav"),
+                   "--reconnect-timeout", "0"])
+        assert rc == 2
+        assert "loading device failed" in capsys.readouterr().err
+
+    def test_scan_missing_capture(self, tmp_path, capsys):
+        rc = main(["scan", "--iq", str(tmp_path / "nope.wav")])
+        assert rc == 2
+        assert "loading device failed" in capsys.readouterr().err
