@@ -43,11 +43,17 @@ class MultiStationReceiver:
     def controls_for(self, offsets_hz: Sequence[int]) -> Controls:
         n = len(offsets_hz)
         ones = jnp.ones((n,), jnp.float32)
+        base = self.rx.initial_controls()   # seeds pano + sound mix
         return Controls(
             lo_freq_hz=jnp.asarray(list(offsets_hz), jnp.int32),
             volume=ones, left_gain=ones, right_gain=ones,
             input_lgain=ones, input_rgain=ones,
-            squelch_level=jnp.zeros((n,), jnp.float32))
+            squelch_level=jnp.zeros((n,), jnp.float32),
+            # every Controls leaf is vmapped along the station axis
+            pano=jnp.broadcast_to(jnp.asarray(base.pano, jnp.float32),
+                                  (n,)),
+            sound_mix=jnp.broadcast_to(
+                jnp.asarray(base.sound_mix, jnp.float32)[None], (n, 2, 2)))
 
     def step(self, states, controls: Controls, iq: Array):
         """One shared input block -> per-station (states, Output) with a

@@ -27,6 +27,13 @@ Wire protocol (one command per line; responses are JSON lines):
     pano <0..200>    stereo panorama slider: 0 mono, 100 stereo, 200
                      widened (setStereoPanorama, fm-processor.cpp:277-279)
     mono on|off      runtime mono (pano 0 / restore previous)
+    iqbalance <n>    -100..100 input attenuation pair (setIQBalance,
+                     radio.cpp:982-996 -> setAttenuation)
+    pause / resume   stop/restart the reader while keeping the session
+                     (handle_pauseButton, radio.cpp:1871-1893; also
+                     'pause on|off').  A file source holds its position;
+                     a live source counts the paused-over samples as
+                     drops.  While paused only the channel is serviced.
     squelch <n>      squelch slider 0..100 (setSquelchValue)
     afc on|off       per-block AFC loop (radio.cpp:1786-1809)
     gain <tenth_db>  rtl_tcp manual tuner gain (implies gain mode manual)
@@ -52,6 +59,7 @@ import socket
 import stat
 import sys
 import threading
+import time
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -279,6 +287,8 @@ class CommandProcessor:
         self.sound = None             # None = leave the seeded mix alone
         self._pano_before_mono = None
         self._seed_pano = 1.0         # adopted by seed_from()
+        self.iqbalance = None         # None = leave the CLI gains alone
+        self.paused = False
         self.commands_handled = 0
         self.retunes = 0
         self.hw_retunes = 0
@@ -307,6 +317,12 @@ class CommandProcessor:
         if self.pano is not None:
             controls = controls._replace(
                 pano=jnp.asarray(self.pano, jnp.float32))
+        if self.iqbalance is not None:
+            controls = controls._replace(
+                input_lgain=jnp.asarray((100 - self.iqbalance) / 100.0,
+                                        jnp.float32),
+                input_rgain=jnp.asarray((100 + self.iqbalance) / 100.0,
+                                        jnp.float32))
         if self.sound is not None:
             from ..models.receiver import SOUND_MATRICES
             controls = controls._replace(sound_mix=jnp.asarray(
@@ -395,17 +411,7 @@ class CommandProcessor:
         return state, tuned
 
     # -- the hook ---------------------------------------------------------
-    def apply(self, state, controls, meta):
-        """Runner hook: service commands + AFC; returns
-        (state, controls, stop)."""
-        if meta:
-            self._last_meta = meta
-        stop = False
-        # dirty iff a command actually changed a traced control: read-only
-        # commands (status/stations/gain/agc/ppm) must NOT rebuild the
-        # Controls pytree — fresh eager scalars mean extra H2D transfers
-        # interleaved with dispatches, the axon tunnel's worst case
-        sig0 = self._ctl_sig()
+    def _drain_commands(self, state, stop=False):
         for line in (self.channel.poll() if self.channel else []):
             self.commands_handled += 1
             resp = self._dispatch(line, state)
@@ -416,6 +422,27 @@ class CommandProcessor:
                 resp = {"ok": "stopping"}
             if self.channel is not None and resp is not None:
                 self.channel.respond(resp)
+        return state, stop
+
+    def apply(self, state, controls, meta):
+        """Runner hook: service commands + AFC; returns
+        (state, controls, stop)."""
+        if meta:
+            self._last_meta = meta
+        # dirty iff a command actually changed a traced control: read-only
+        # commands (status/stations/gain/agc/ppm) must NOT rebuild the
+        # Controls pytree — fresh eager scalars mean extra H2D transfers
+        # interleaved with dispatches, the axon tunnel's worst case
+        sig0 = self._ctl_sig()
+        state, stop = self._drain_commands(state)
+        # paused: hold the pipeline between blocks, servicing only the
+        # channel, until resume/quit (handle_pauseButton,
+        # radio.cpp:1871-1893 — the reader is stopped too, via
+        # source.pause; a file source holds position, a live source
+        # counts the gap as drops)
+        while self.paused and not stop:
+            time.sleep(0.05)
+            state, stop = self._drain_commands(state, stop)
         dirty = self._ctl_sig() != sig0
         if self.afc_active and meta and "dc_if" in meta:
             before = self.afc.offset
@@ -443,7 +470,22 @@ class CommandProcessor:
 
     def _ctl_sig(self):
         return (self.lo_hz, self.volume_db, self.balance, self.muted,
-                self.squelch_level, self.pano, self.sound)
+                self.squelch_level, self.pano, self.sound, self.iqbalance)
+
+    def _set_paused(self, want: bool):
+        """handle_pauseButton (radio.cpp:1871-1893): stop/restart the
+        reader; apply() holds the pipeline while paused."""
+        if want == self.paused:
+            return {"ok": "pause", "paused": self.paused}
+        self.paused = want
+        p = getattr(self.source, "pause", None)
+        if p is not None:
+            try:
+                p(want)
+            except OSError as e:
+                return {"ok": "pause", "paused": want,
+                        "warning": f"source pause failed: {e}"}
+        return {"ok": "pause", "paused": self.paused}
 
     # -- dispatch ---------------------------------------------------------
     def _dispatch(self, line: str, state):
@@ -525,6 +567,15 @@ class CommandProcessor:
                                  else self._seed_pano)
                     self._pano_before_mono = None
                 return {"ok": "mono", "mono": self.pano == 0.0}
+            if cmd == "iqbalance" and len(args) == 1:
+                # setIQBalance (radio.cpp:982-996): input attenuation pair
+                # attL=(100-n)/100, attR=(100+n)/100 via setAttenuation
+                self.iqbalance = int(max(-100, min(100, int(args[0]))))
+                return {"ok": "iqbalance", "n": self.iqbalance}
+            if cmd in ("pause", "resume"):
+                want = (cmd == "pause") if not args else \
+                    args[0].lower() in ("on", "1", "true")
+                return self._set_paused(want)
             if cmd == "squelch" and len(args) == 1:
                 self.squelch_level = max(0.0, min(100.0, float(args[0])))
                 return {"ok": "squelch", "level": self.squelch_level}
@@ -606,6 +657,10 @@ class CommandProcessor:
             s["pano"] = self.pano
         if self.sound is not None:
             s["sound"] = self.sound
+        if self.iqbalance is not None:
+            s["iqbalance"] = self.iqbalance
+        if self.paused:
+            s["paused"] = True
         src = self.source
         if src is not None:
             dev = {}

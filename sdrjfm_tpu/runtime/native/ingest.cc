@@ -91,6 +91,10 @@ struct SdrSource {
   std::atomic<uint64_t> produced{0};   // complex frames produced
   std::atomic<uint64_t> dropped{0};    // frames lost to a full ring
   std::atomic<int> eof{0};
+  // pause = the reference's stopReader (radio.cpp:1871-1893): the reader
+  // stops emitting; a file source holds its position, a live source loses
+  // the samples (counted as drops)
+  std::atomic<bool> paused{false};
   FILE* file = nullptr;
   WavInfo info;
   bool pace;
@@ -179,6 +183,11 @@ void sdr_source_start(SdrSource* s) {
     auto next_emit = std::chrono::steady_clock::now();
     long remaining = s->info.data_bytes / (long)frame_bytes;
     while (s->running.load(std::memory_order_relaxed)) {
+      if (s->paused.load(std::memory_order_relaxed)) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(10));
+        next_emit = std::chrono::steady_clock::now();
+        continue;
+      }
       size_t want = slice;
       if ((long)want > remaining) want = (size_t)remaining;
       size_t got = want ? fread(raw.data(), frame_bytes, want, s->file) : 0;
@@ -247,6 +256,10 @@ int sdr_source_eof(SdrSource* s) {
   return s->eof.load() && s->ring.readAvailable() < 2;
 }
 
+// stopReader/restartReader while running (handle_pauseButton,
+// radio.cpp:1871-1893)
+void sdr_source_pause(SdrSource* s, int on) { s->paused.store(on != 0); }
+
 void sdr_source_stop(SdrSource* s) {
   s->running.store(false);
   if (s->worker.joinable()) s->worker.join();
@@ -276,6 +289,7 @@ struct SdrRawSource {
   std::atomic<uint64_t> produced{0};
   std::atomic<uint64_t> dropped{0};
   std::atomic<int> eof{0};
+  std::atomic<bool> paused{false};   // stopReader-while-running; see above
   FILE* file = nullptr;
   uint32_t rate = 0;
   int frame_bytes = 0;        // 2 (u8 IQ) or 4 (i16 IQ)
@@ -368,6 +382,12 @@ void pipe_worker(SdrRawSource* s) {
   std::vector<uint8_t> buf(65536);
   size_t carry = 0;
   while (s->running.load(std::memory_order_relaxed)) {
+    if (s->paused.load(std::memory_order_relaxed) && !s->drop_on_full) {
+      // backpressure pipe: a paused reader simply stops pulling and the
+      // external tool blocks on write (stopReader for a pipe)
+      std::this_thread::sleep_for(std::chrono::milliseconds(10));
+      continue;
+    }
     struct pollfd pfd = {s->pipe_fd, POLLIN, 0};
     int pr = poll(&pfd, 1, 200);
     if (pr == 0) continue;
@@ -388,17 +408,23 @@ void pipe_worker(SdrRawSource* s) {
     }
     size_t have = carry + (size_t)r;
     size_t whole = have - have % fb;
-    size_t put = 0;
-    while (put < whole && s->running.load(std::memory_order_relaxed)) {
-      size_t n = s->ring.put(buf.data() + put, whole - put);
-      put += n;
-      if (n == 0) {
-        if (s->drop_on_full) {
-          s->dropped.fetch_add((whole - put) / fb);
-          put = whole;
-          break;
+    if (s->paused.load(std::memory_order_relaxed)) {
+      // drop_on_full pipe while paused: keep the fd drained so the
+      // producer never stalls, but the frames are lost (live semantics)
+      s->dropped.fetch_add(whole / fb);
+    } else {
+      size_t put = 0;
+      while (put < whole && s->running.load(std::memory_order_relaxed)) {
+        size_t n = s->ring.put(buf.data() + put, whole - put);
+        put += n;
+        if (n == 0) {
+          if (s->drop_on_full) {
+            s->dropped.fetch_add((whole - put) / fb);
+            put = whole;
+            break;
+          }
+          std::this_thread::sleep_for(std::chrono::microseconds(200));
         }
-        std::this_thread::sleep_for(std::chrono::microseconds(200));
       }
     }
     s->produced.fetch_add(whole / fb);
@@ -426,6 +452,11 @@ void sdr_raw_start(SdrRawSource* s) {
     auto next_emit = std::chrono::steady_clock::now();
     long remaining = s->data_bytes / (long)fb;
     while (s->running.load(std::memory_order_relaxed)) {
+      if (s->paused.load(std::memory_order_relaxed)) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(10));
+        next_emit = std::chrono::steady_clock::now();
+        continue;
+      }
       size_t want = slice;
       if ((long)want > remaining) want = (size_t)remaining;
       size_t got = want ? fread(raw.data(), fb, want, s->file) : 0;
@@ -487,6 +518,8 @@ int sdr_raw_eof(SdrRawSource* s) {
          s->ring.readAvailable() < (size_t)s->frame_bytes;
 }
 
+void sdr_raw_pause(SdrRawSource* s, int on) { s->paused.store(on != 0); }
+
 void sdr_raw_stop(SdrRawSource* s) {
   s->running.store(false);
   if (s->worker.joinable()) s->worker.join();
@@ -524,6 +557,8 @@ struct SdrTcpSource {
   std::atomic<uint64_t> produced{0};   // frames
   std::atomic<uint64_t> dropped{0};
   std::atomic<int> eof{0};
+  std::atomic<bool> paused{false};   // reader stopped: socket stays drained
+                                     // and alive, the samples are lost
   std::atomic<int> connected{0};
   std::atomic<uint32_t> reconnects{0};
   int fd = -1;
@@ -730,9 +765,13 @@ void sdr_rtltcp_start(SdrTcpSource* s) {
       if (r < 0) continue;       // poll timeout
       size_t have = carry + (size_t)r;
       size_t whole = have & ~size_t(1);   // keep IQ pairs intact
-      size_t put = s->ring.put(buf.data(), whole);
-      if (put < whole) {       // live source: a full ring drops frames
-        s->dropped.fetch_add((whole - put) / 2);
+      if (s->paused.load(std::memory_order_relaxed)) {
+        s->dropped.fetch_add(whole / 2);   // paused reader loses samples
+      } else {
+        size_t put = s->ring.put(buf.data(), whole);
+        if (put < whole) {     // live source: a full ring drops frames
+          s->dropped.fetch_add((whole - put) / 2);
+        }
       }
       s->produced.fetch_add(whole / 2);
       carry = have - whole;
@@ -766,6 +805,8 @@ uint64_t sdr_rtltcp_dropped(SdrTcpSource* s) { return s->dropped.load(); }
 int sdr_rtltcp_eof(SdrTcpSource* s) {
   return s->eof.load() && s->ring.readAvailable() < 2;
 }
+
+void sdr_rtltcp_pause(SdrTcpSource* s, int on) { s->paused.store(on != 0); }
 
 void sdr_rtltcp_stop(SdrTcpSource* s) {
   s->running.store(false);

@@ -59,6 +59,7 @@ def load_library(build: bool = True):
     lib.sdr_source_rate.argtypes = [ctypes.c_void_p]
     lib.sdr_source_start.argtypes = [ctypes.c_void_p]
     lib.sdr_source_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_source_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sdr_source_close.argtypes = [ctypes.c_void_p]
     lib.sdr_source_read.restype = ctypes.c_size_t
     lib.sdr_source_read.argtypes = [ctypes.c_void_p,
@@ -92,6 +93,7 @@ def load_library(build: bool = True):
     lib.sdr_raw_frame_bytes.argtypes = [ctypes.c_void_p]
     lib.sdr_raw_start.argtypes = [ctypes.c_void_p]
     lib.sdr_raw_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_raw_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sdr_raw_close.argtypes = [ctypes.c_void_p]
     lib.sdr_raw_read_blocking.restype = ctypes.c_size_t
     lib.sdr_raw_read_blocking.argtypes = [ctypes.c_void_p,
@@ -124,6 +126,7 @@ def load_library(build: bool = True):
                                        ctypes.c_uint32]
     lib.sdr_rtltcp_start.argtypes = [ctypes.c_void_p]
     lib.sdr_rtltcp_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtltcp_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sdr_rtltcp_close.argtypes = [ctypes.c_void_p]
     lib.sdr_rtltcp_read_blocking.restype = ctypes.c_size_t
     lib.sdr_rtltcp_read_blocking.argtypes = [ctypes.c_void_p,
@@ -161,6 +164,11 @@ class NativeWavSource:
 
     def start(self):
         self._lib.sdr_source_start(self._h)
+
+    def pause(self, on: bool) -> None:
+        """stopReader/restartReader while running (handle_pauseButton,
+        radio.cpp:1871-1893): a file source holds its position."""
+        self._lib.sdr_source_pause(self._h, 1 if on else 0)
 
     def stop(self):
         self._lib.sdr_source_stop(self._h)
@@ -284,6 +292,11 @@ class RtlTcpSource:
     def start(self):
         self._lib.sdr_rtltcp_start(self._h)
 
+    def pause(self, on: bool) -> None:
+        """stopReader semantics for a live stream: the socket stays
+        drained and alive, the paused-over samples count as drops."""
+        self._lib.sdr_rtltcp_pause(self._h, 1 if on else 0)
+
     def stop(self):
         self._lib.sdr_rtltcp_stop(self._h)
 
@@ -349,6 +362,9 @@ class NativePipeSource:
 
     def start(self):
         self._lib.sdr_raw_start(self._h)
+
+    def pause(self, on: bool) -> None:
+        self._lib.sdr_raw_pause(self._h, 1 if on else 0)
 
     def stop(self):
         self._lib.sdr_raw_stop(self._h)
@@ -426,6 +442,12 @@ class NativeRawSource:
     def start(self):
         self._require_open()
         self._lib.sdr_raw_start(self._h)
+
+    def pause(self, on: bool) -> None:
+        """Backpressure pipes stop pulling (the writer blocks);
+        drop-on-full pipes keep draining and lose the frames."""
+        self._require_open()
+        self._lib.sdr_raw_pause(self._h, 1 if on else 0)
 
     def stop(self):
         self._require_open()

@@ -589,3 +589,62 @@ class TestSoundModeAndPanorama:
                                       mode="stereo_pano", panorama=0.4))
         assert float(np.asarray(rx2.initial_controls().pano)) == \
             pytest.approx(0.4)
+
+
+class TestPauseAndIQBalance:
+    def test_pause_resume_offline_is_lossless(self, two_station_iq):
+        """handle_pauseButton (radio.cpp:1871-1893) through the command
+        hook: pause holds the pipeline between blocks (only the channel is
+        serviced), resume continues, and an offline run's audio is
+        bit-identical to the same run without the pause."""
+        from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+        from sdrjfm_tpu.runtime.control import CommandProcessor
+        from sdrjfm_tpu.runtime.stream import run_offline
+
+        iq = two_station_iq[:10 * 12 * BLOCK_FM]
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+        ref = run_offline(rx, iq)
+
+        # while paused, apply() keeps polling: poll #5 -> 'status',
+        # poll #6 -> 'resume' (the ScriptedChannel index advances per poll)
+        chan = ScriptedChannel({4: ["pause"], 5: ["status"],
+                                6: ["resume"]})
+        proc = CommandProcessor(rx, chan)
+        t0 = time.time()
+        res = run_offline(rx, iq, command_hook=proc.apply)
+        assert time.time() - t0 > 0.08      # the pause really held >1 tick
+        np.testing.assert_array_equal(res.audio, ref.audio)
+        assert {"ok": "pause", "paused": True} in chan.responses
+        assert {"ok": "pause", "paused": False} in chan.responses
+        st = next(r for r in chan.responses if "lo_hz" in r)
+        assert st["paused"] is True         # status answered while paused
+
+    def test_quit_while_paused_stops(self, two_station_iq):
+        from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+        from sdrjfm_tpu.runtime.control import CommandProcessor
+        from sdrjfm_tpu.runtime.stream import run_offline
+
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+        chan = ScriptedChannel({3: ["pause"], 5: ["quit"]})
+        proc = CommandProcessor(rx, chan)
+        res = run_offline(rx, two_station_iq[:10 * 12 * BLOCK_FM],
+                          command_hook=proc.apply)
+        # stopped right after the pause block, not at capture end
+        assert len(res.meta) == 4
+
+    def test_iqbalance_maps_to_input_attenuation(self):
+        """setIQBalance (radio.cpp:982-996): attL=(100-n)/100,
+        attR=(100+n)/100 through setAttenuation, as traced input gains."""
+        from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+        from sdrjfm_tpu.runtime.control import CommandProcessor
+
+        rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+        chan = ScriptedChannel({0: ["iqbalance 40"]})
+        proc = CommandProcessor(rx, chan)
+        state = rx.init_state()
+        controls = rx.initial_controls()
+        state, c2, stop = proc.apply(state, controls, {})
+        assert not stop
+        assert float(np.asarray(c2.input_lgain)) == pytest.approx(0.6)
+        assert float(np.asarray(c2.input_rgain)) == pytest.approx(1.4)
+        assert chan.responses[0] == {"ok": "iqbalance", "n": 40}

@@ -122,3 +122,29 @@ class TestRawPassthrough:
         write_iq_wav(path, np.zeros(100, np.complex64), 2_304_000)
         with pytest.raises(IOError):
             NativeRawSource(path)
+
+
+class TestPause:
+    def test_pause_holds_position_for_file_source(self, iq_wav):
+        """stopReader on a file source (handle_pauseButton,
+        radio.cpp:1871-1893): the producer stops at its position, nothing
+        is lost, and the full paused-then-resumed stream is bit-identical
+        to the file."""
+        import time as _t
+        path, iq = iq_wav
+        n_head = 100_000
+        with NativeWavSource(path, pace=True) as src:
+            head = src.read_block(n_head, timeout_ms=4000)
+            src.pause(True)
+            _t.sleep(0.25)
+            avail0 = src.available()
+            _t.sleep(0.25)
+            # producer really stopped: the ring is not refilling
+            assert src.available() <= avail0 + 1
+            assert src.dropped == 0
+            src.pause(False)
+            rest = src.read_block(len(iq) - n_head, timeout_ms=8000)
+            assert src.dropped == 0
+        got = np.concatenate([head, rest])
+        assert len(got) == len(iq)
+        np.testing.assert_allclose(got, iq, atol=1e-6)
