@@ -176,7 +176,13 @@ def _bench_normal(jax, C, rx, state, controls, blocks, nblocks, ratio):
 
 
 def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
-    """Broken completion signaling: D2H-forced slope timing, else stale."""
+    """Broken completion signaling: D2H-forced slope timing, else stale.
+
+    The whole attempt runs in a daemon thread under a global watchdog: on
+    a regressed session the remote compile or any fetch can stall for tens
+    of minutes, and an externally-killed bench prints NO record at all —
+    worse than an honestly-flagged stale one.
+    """
 
     def stale(why):
         val, rnd = _last_good_value()
@@ -191,6 +197,24 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
     why = (f"runtime completion-signaling regression: 16x device work "
            f"changed block_until_ready wall time only {ratio:.2f}x "
            f"(see bench.py docstring)")
+
+    box = {}
+    worker = threading.Thread(
+        target=_forced_attempt,
+        args=(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
+              ratio, why),
+        daemon=True)
+    worker.start()
+    worker.join(float(os.environ.get("BENCH_FORCED_BUDGET_S", "600")))
+    if "emit" in box:
+        _emit(*box["emit"][0], **box["emit"][1])
+        os._exit(0)
+    stale(box.get("why", why + "; D2H-forced attempt exceeded its global "
+                              "watchdog (compile or fetch stalled)"))
+
+
+def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
+                    ratio, why):
 
     def repeat_fn(R):
         @jax.jit
@@ -214,14 +238,15 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
 
     R_LO, R_HI = 512, 4608
     f_lo, f_hi = repeat_fn(R_LO), repeat_fn(R_HI)
-    deadline = time.time() + 900.0
+    deadline = time.time() + 480.0
 
     # warmup: compile + the first-D2H lottery (on regressed sessions the
     # first transfer has been observed to take 100 s or never return)
-    v = _fetch_with_timeout(f_lo(state), 300.0)
+    v = _fetch_with_timeout(f_lo(state), 240.0)
     if v is None or not np.isfinite(float(v)):
-        stale(why + "; D2H-forced fallback also unavailable "
-                    "(first fetch wedged or non-finite)")
+        box["why"] = (why + "; D2H-forced fallback also unavailable "
+                            "(first fetch wedged or non-finite)")
+        return
 
     def timed(f):
         best = float("inf")
@@ -229,7 +254,7 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
             if time.time() > deadline:
                 return None
             t0 = time.time()
-            r = _fetch_with_timeout(f(state), 240.0)
+            r = _fetch_with_timeout(f(state), 180.0)
             if r is None:
                 return None
             best = min(best, time.time() - t0)
@@ -238,16 +263,17 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
     dt_lo = timed(f_lo)
     dt_hi = timed(f_hi) if dt_lo is not None else None
     if dt_lo is None or dt_hi is None or dt_hi <= dt_lo:
-        stale(why + "; D2H-forced slope timing failed "
-                    f"(dt_lo={dt_lo}, dt_hi={dt_hi})")
+        box["why"] = (why + "; D2H-forced slope timing failed "
+                            f"(dt_lo={dt_lo}, dt_hi={dt_hi})")
+        return
     t_rep = (dt_hi - dt_lo) / (R_HI - R_LO)
     sps = nblocks * rx.cfg.block_in / t_rep
-    _emit(sps / C.INPUT_RATE, method="d2h_slope",
-          integrity_ratio=round(ratio, 2),
-          note="completion-signaling regression active; slope of "
-               f"R={R_LO}->{R_HI} chained repeats, completion forced by a "
-               "scalar fetch that data-depends on every repeat")
-    os._exit(0)
+    box["emit"] = ((sps / C.INPUT_RATE,), dict(
+        method="d2h_slope",
+        integrity_ratio=round(ratio, 2),
+        note="completion-signaling regression active; slope of "
+             f"R={R_LO}->{R_HI} chained repeats, completion forced by a "
+             "scalar fetch that data-depends on every repeat"))
 
 
 if __name__ == "__main__":

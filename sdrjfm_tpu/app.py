@@ -108,6 +108,11 @@ def _build_rx_parser(sub):
                                         "A/B, fm-processor.cpp:448-455)")
     p.add_argument("--dump-if", help="dump the 192 kHz IF (complex wav)")
     p.add_argument("--dump-mpx", help="dump the demodulated MPX (192 kHz wav)")
+    p.add_argument("--taps", action="store_true",
+                   help="emit the debug taps (incl. the input tap) without "
+                        "opening any dump file, so a --control channel can "
+                        "start/stop dumps at runtime (the GUI dump "
+                        "buttons; 'dump audio <path>' needs no taps)")
     p.add_argument("--spectra", help="write hf/lf spectra + waterfall + RDS "
                                      "constellation to an npz")
     p.add_argument("--lf-plot", default="demod",
@@ -306,9 +311,54 @@ class _FollowDumps:
                      if args.dump_if else None)
         self.w_mpx = (StreamingWavWriter(args.dump_mpx, cfg.fm_rate, 1)
                       if args.dump_mpx else None)
+        self.w_audio = None
         self.lf_rows = []
         self.lf_axis = None
         self.hf = None
+
+    # -- runtime toggling (the GUI dump buttons start/stop dumps while
+    # receiving, radio.cpp:208-209 handle_dumpButton/audioDumpButton) ----
+    _KIND_ATTR = {"input": "w_input", "if": "w_if", "mpx": "w_mpx",
+                  "audio": "w_audio"}
+
+    def start(self, kind: str, path: str):
+        """Open a dump writer mid-run; returns an error string or None.
+        The audio dump is always possible (audio reaches the host every
+        block); input/if/mpx need their taps compiled into the step."""
+        from .io.wavio import StreamingWavWriter
+        if kind in ("if", "mpx") and not self.cfg.emit_taps:
+            return (f"the {kind} tap is not emitted by this run; start "
+                    "with --taps (or a --dump-* flag)")
+        if kind == "input" and not self.cfg.emit_input_tap:
+            return ("the input tap is not emitted by this run; start "
+                    "with --taps or --dump-input")
+        rate, ch = {"input": (self.cfg.input_rate, 2),
+                    "if": (self.cfg.fm_rate, 2),
+                    "mpx": (self.cfg.fm_rate, 1),
+                    "audio": (self.cfg.audio_rate, 2)}[kind]
+        self.stop(kind)
+        setattr(self, self._KIND_ATTR[kind],
+                StreamingWavWriter(path, rate, ch))
+        return None
+
+    def stop(self, kind: str):
+        """Close a dump writer; returns its path (or None if not open)."""
+        w = getattr(self, self._KIND_ATTR[kind])
+        if w is None:
+            return None
+        w.close()
+        setattr(self, self._KIND_ATTR[kind], None)
+        return w.path
+
+    def active(self):
+        return {k: getattr(self, a).path
+                for k, a in self._KIND_ATTR.items()
+                if getattr(self, a) is not None}
+
+    def on_audio(self, frames):
+        if self.w_audio is not None:
+            import numpy as np
+            self.w_audio.write(np.asarray(frames))
 
     def on_taps(self, taps):
         # taps holds device arrays: only the taps actually written are
@@ -334,7 +384,7 @@ class _FollowDumps:
 
     def finish(self, res):
         import numpy as np
-        for w in (self.w_input, self.w_if, self.w_mpx):
+        for w in (self.w_input, self.w_if, self.w_mpx, self.w_audio):
             if w is not None:
                 w.close()
                 print(f"wrote {w.path}", file=sys.stderr)
@@ -440,7 +490,7 @@ def cmd_rx(args) -> int:
     if deemph_us is None:
         deemph_us = float(args.deemphasis)
     want_taps = bool(args.dump_if or args.dump_mpx or args.spectra
-                     or args.dump_input)
+                     or args.dump_input or args.taps)
     if args.afc and not args.follow and args.runner == "scan" \
             and not args.pcm_out:
         print("--afc closes a per-block host loop; use --runner loop, "
@@ -475,7 +525,7 @@ def cmd_rx(args) -> int:
         frontend=args.frontend, emit_taps=want_taps,
         # follow-mode --spectra takes its HF spectrum from the input tap
         # (there is no in-memory capture to transform)
-        emit_input_tap=bool(args.dump_input
+        emit_input_tap=bool(args.dump_input or args.taps
                             or (args.spectra and args.follow)),
         # streaming sinks take the on-device-quantized PCM16 wire form
         # (half the device->host audio bytes; s16le is what they emit
@@ -582,8 +632,12 @@ def cmd_rx(args) -> int:
             if blocks_done % every == 0:
                 ckpt_mgr.save(blocks_done, state)
     follow_dumps = None
-    if args.follow and want_taps:
+    if args.follow and (want_taps or args.control):
+        # --control alone enables the runtime dump buttons (the audio dump
+        # needs no taps; input/if/mpx additionally need --taps)
         follow_dumps = _FollowDumps(args, cfg)
+        if ctl_proc is not None:
+            ctl_proc.dumps = follow_dumps
     meter = None
     if args.meter:
         if not (args.follow or args.pcm_out):
@@ -676,10 +730,19 @@ def cmd_rx(args) -> int:
                                      // cfg.block_in)
                 src.start()
                 try:
+                    on_audio_cb = sink.write if sink else None
+                    if follow_dumps is not None:
+                        if sink is not None:
+                            def on_audio_cb(fr, _w=sink.write,
+                                            _d=follow_dumps.on_audio):
+                                _w(fr)
+                                _d(fr)
+                        else:
+                            on_audio_cb = follow_dumps.on_audio
                     res = run_live(
                         rx, src, controls, init_state=init_state,
                         max_blocks=max_blocks,
-                        on_audio=sink.write if sink else None,
+                        on_audio=on_audio_cb,
                         on_meta=meter,
                         rds_feedback=live_rds.feed if live_rds else None,
                         controls_update=controls_update,

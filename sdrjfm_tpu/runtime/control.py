@@ -35,6 +35,11 @@ Wire protocol (one command per line; responses are JSON lines):
                      a live source counts the paused-over samples as
                      drops.  While paused only the channel is serviced.
     squelch <n>      squelch slider 0..100 (setSquelchValue)
+    dump <kind> <path|off>
+                     start/stop a wav dump while receiving (the GUI dump
+                     buttons, radio.cpp:208-209).  kind: audio (always
+                     available on --follow) or input|if|mpx (need --taps
+                     or a --dump-* flag so the taps are compiled in).
     afc on|off       per-block AFC loop (radio.cpp:1786-1809)
     gain <tenth_db>  rtl_tcp manual tuner gain (implies gain mode manual)
     agc on|off       rtl_tcp tuner AGC
@@ -264,7 +269,8 @@ class CommandProcessor:
                  source=None, afc_active: bool = False,
                  on_retune: Optional[Callable[[], None]] = None,
                  meta_provider: Optional[Callable[[], dict]] = None,
-                 stations=None, stations_path: Optional[str] = None):
+                 stations=None, stations_path: Optional[str] = None,
+                 dumps=None):
         self.rx = rx
         self.channel = channel
         # station-list tuning (the reference's programList/keypad slots,
@@ -289,6 +295,9 @@ class CommandProcessor:
         self._seed_pano = 1.0         # adopted by seed_from()
         self.iqbalance = None         # None = leave the CLI gains alone
         self.paused = False
+        # runtime dump buttons (app._FollowDumps contract: start/stop/
+        # active); None = runtime dumps unavailable on this runner
+        self.dumps = dumps
         self.commands_handled = 0
         self.retunes = 0
         self.hw_retunes = 0
@@ -567,6 +576,25 @@ class CommandProcessor:
                                  else self._seed_pano)
                     self._pano_before_mono = None
                 return {"ok": "mono", "mono": self.pano == 0.0}
+            if cmd == "dump" and len(args) == 2:
+                # the GUI dump buttons start/stop wav dumps while
+                # receiving (handle_dumpButton/audioDumpButton,
+                # radio.cpp:208-209; fm-processor.cpp:338-349,448-455,
+                # audiosink.cpp:268-274)
+                kind = args[0].lower()
+                if kind not in ("input", "if", "mpx", "audio"):
+                    return {"error": f"unknown dump kind {kind!r} "
+                                     "(input|if|mpx|audio)"}
+                if self.dumps is None:
+                    return {"error": "runtime dumps need a live run "
+                                     "(rx --follow --control ...)"}
+                if args[1].lower() == "off":
+                    path = self.dumps.stop(kind)
+                    return {"ok": "dump", "kind": kind, "stopped": path}
+                err = self.dumps.start(kind, args[1])
+                if err:
+                    return {"error": err}
+                return {"ok": "dump", "kind": kind, "path": args[1]}
             if cmd == "iqbalance" and len(args) == 1:
                 # setIQBalance (radio.cpp:982-996): input attenuation pair
                 # attL=(100-n)/100, attR=(100+n)/100 via setAttenuation
@@ -661,6 +689,10 @@ class CommandProcessor:
             s["iqbalance"] = self.iqbalance
         if self.paused:
             s["paused"] = True
+        if self.dumps is not None:
+            act = self.dumps.active()
+            if act:
+                s["dumps"] = act
         src = self.source
         if src is not None:
             dev = {}

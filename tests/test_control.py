@@ -648,3 +648,95 @@ class TestPauseAndIQBalance:
         assert float(np.asarray(c2.input_lgain)) == pytest.approx(0.6)
         assert float(np.asarray(c2.input_rgain)) == pytest.approx(1.4)
         assert chan.responses[0] == {"ok": "iqbalance", "n": 40}
+
+
+def test_cli_runtime_dump_toggle(two_station_iq, tmp_path):
+    """The GUI dump buttons (handle_dumpButton/audioDumpButton,
+    radio.cpp:208-209) as control-channel commands: start and stop an
+    audio dump and an MPX dump mid-run; files are valid wav with the
+    right rates; dumping without the tap compiled in is a clean error."""
+    from sdrjfm_tpu.app import main
+    from sdrjfm_tpu.io.wavio import read_wav, write_iq_wav
+
+    wav = str(tmp_path / "two.wav")
+    write_iq_wav(wav, two_station_iq[:12 * 12 * BLOCK_FM], C.INPUT_RATE)
+    ctl = str(tmp_path / "ctl.sock")
+    adump = str(tmp_path / "live_audio.wav")
+    mdump = str(tmp_path / "live_mpx.wav")
+    rc_box = {}
+
+    def run():
+        rc_box["rc"] = main(["rx", "--iq", wav, "--follow", "--no-pace",
+                             "--loop-seconds", "600", "--taps",
+                             "--block-fm", str(BLOCK_FM),
+                             "--control", ctl])
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    deadline = time.time() + 120
+    cli = None
+    while time.time() < deadline and cli is None:
+        if os.path.exists(ctl):
+            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                s.connect(ctl)
+                s.settimeout(10)
+                cli = s
+            except OSError:
+                s.close()
+        time.sleep(0.1)
+    assert cli is not None, "control socket never appeared"
+    buf = b""
+
+    def cmd(line):
+        nonlocal buf
+        cli.sendall(line.encode() + b"\n")
+        while b"\n" not in buf:
+            buf += cli.recv(4096)
+        out, buf = buf.split(b"\n", 1)
+        return json.loads(out)
+
+    try:
+        assert "error" in cmd("dump bogus x")
+        r = cmd("dump audio " + adump)
+        assert r == {"ok": "dump", "kind": "audio", "path": adump}
+        r = cmd("dump mpx " + mdump)
+        assert r["ok"] == "dump"
+        st = cmd("status")
+        assert st["dumps"] == {"audio": adump, "mpx": mdump}
+        time.sleep(1.5)                      # let a few blocks stream
+        r = cmd("dump audio off")
+        assert r["stopped"] == adump
+        r = cmd("dump mpx off")
+        assert r["stopped"] == mdump
+        cmd("quit")
+    finally:
+        cli.close()
+        th.join(60)
+    assert rc_box.get("rc") == 0
+    a, ai = read_wav(adump)
+    assert ai.rate == 48000 and a.shape[0] > 0 and a.shape[1] == 2
+    m, mi = read_wav(mdump)
+    assert mi.rate == C.FM_RATE and m.shape[0] > 0
+
+
+def test_dump_without_taps_is_clean_error(two_station_iq, tmp_path):
+    """'dump mpx' on a run without --taps: clean error, run unharmed."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+
+    class _NoTapsDumps:
+        # mimic app._FollowDumps on a tapless cfg
+        def __init__(self, cfg):
+            from sdrjfm_tpu.app import _FollowDumps
+            import argparse
+            ns = argparse.Namespace(dump_input=None, dump_if=None,
+                                    dump_mpx=None, spectra=None)
+            self._d = _FollowDumps(ns, cfg)
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    proc = CommandProcessor(rx, None, dumps=_NoTapsDumps(rx.cfg)._d)
+    resp = proc._dispatch("dump mpx /tmp/x.wav", rx.init_state())
+    assert "not emitted" in resp["error"]
+    resp = proc._dispatch("dump audio off", rx.init_state())
+    assert resp == {"ok": "dump", "kind": "audio", "stopped": None}
