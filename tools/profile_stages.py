@@ -33,6 +33,14 @@ def main():
     from sdrjfm_tpu.io import synth
     from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
                                             default_controls)
+    from sdrjfm_tpu.runtime.timing_integrity import check_timing_integrity
+
+    ok, ratio = check_timing_integrity()
+    if not ok:
+        print(f"timing integrity probe failed (ratio {ratio:.2f}); "
+              "stage times would be dispatch artifacts — "
+              "see TIMING_INTEGRITY_r03.md")
+        return 1
 
     cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000)
     rx = Receiver(cfg)
@@ -90,4 +98,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    _sys.exit(main())
