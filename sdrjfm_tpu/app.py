@@ -108,6 +108,11 @@ def _build_rx_parser(sub):
                                         "A/B, fm-processor.cpp:448-455)")
     p.add_argument("--dump-if", help="dump the 192 kHz IF (complex wav)")
     p.add_argument("--dump-mpx", help="dump the demodulated MPX (192 kHz wav)")
+    p.add_argument("--test-tone", action="store_true",
+                   help="compile in the 1 kHz/25 ms/2 s test-tone injector "
+                        "(insertTestTone, fm-processor.cpp:800-823); the "
+                        "control channel's 'tone on|off' gates it live "
+                        "(handle_cbTestTone, radio.cpp:243)")
     p.add_argument("--taps", action="store_true",
                    help="emit the debug taps (incl. the input tap) without "
                         "opening any dump file, so a --control channel can "
@@ -532,7 +537,8 @@ def cmd_rx(args) -> int:
         # anyway) unless the user asked for float32 wav output
         emit_audio_i16=bool((args.pcm_out or args.follow)
                             and not args.float32),
-        dc_remove=args.dc_remove == "on", iq_format=iq_fmt, **cfg_kw)
+        dc_remove=args.dc_remove == "on", iq_format=iq_fmt,
+        test_tone=args.test_tone, **cfg_kw)
     rx = Receiver(cfg)
     balance = args.balance
     lg = (100 - balance) / 100.0 if balance > 0 else 1.0

@@ -53,7 +53,9 @@ class MultiStationReceiver:
             pano=jnp.broadcast_to(jnp.asarray(base.pano, jnp.float32),
                                   (n,)),
             sound_mix=jnp.broadcast_to(
-                jnp.asarray(base.sound_mix, jnp.float32)[None], (n, 2, 2)))
+                jnp.asarray(base.sound_mix, jnp.float32)[None], (n, 2, 2)),
+            tone_gate=jnp.broadcast_to(
+                jnp.asarray(base.tone_gate, jnp.float32), (n,)))
 
     def step(self, states, controls: Controls, iq: Array):
         """One shared input block -> per-station (states, Output) with a

@@ -160,6 +160,10 @@ class Controls(NamedTuple):
     pano: Array = np.float32(1.0)
     # 2x2 output channel mix (SOUND_MATRICES; setSoundMode live selector)
     sound_mix: Array = np.asarray(SOUND_MATRICES["stereo"], np.float32)
+    # test-tone gate (the GUI checkbox toggles the tone while receiving,
+    # radio.cpp:243 handle_cbTestTone): only meaningful when the stage is
+    # compiled in (cfg.test_tone); 1 = inject, 0 = clean program
+    tone_gate: Array = np.float32(1.0)
 
 
 def default_controls(sound: str = "stereo", pano: float = 1.0) -> Controls:
@@ -785,8 +789,12 @@ class Receiver:
             burst = idx < dur
             tone = 0.9 * jnp.sin(2.0 * jnp.pi * 1000.0 / cfg.working_rate
                                  * idx.astype(jnp.float32))
-            tone = jnp.where(burst, tone, 0.0)
-            pcm = pcm * (1.0 - 0.9) + jax.lax.complex(tone, tone)
+            tone = jnp.where(burst, tone, 0.0) * controls.tone_gate
+            # gate=1 reproduces the reference exactly; gate=0 restores the
+            # clean program (the tone phase keeps advancing — the stage is
+            # compiled in, only the injection is traced)
+            pcm = pcm * (1.0 - 0.9 * controls.tone_gate) \
+                + jax.lax.complex(tone, tone)
             tone_index = (state.tone_index + Tw) % period
         else:
             tone_index = state.tone_index

@@ -29,6 +29,9 @@ Wire protocol (one command per line; responses are JSON lines):
     mono on|off      runtime mono (pano 0 / restore previous)
     iqbalance <n>    -100..100 input attenuation pair (setIQBalance,
                      radio.cpp:982-996 -> setAttenuation)
+    tone on|off      test-tone injector gate (handle_cbTestTone,
+                     radio.cpp:243; the stage must be compiled in with
+                     --test-tone)
     pause / resume   stop/restart the reader while keeping the session
                      (handle_pauseButton, radio.cpp:1871-1893; also
                      'pause on|off').  A file source holds its position;
@@ -294,6 +297,7 @@ class CommandProcessor:
         self._pano_before_mono = None
         self._seed_pano = 1.0         # adopted by seed_from()
         self.iqbalance = None         # None = leave the CLI gains alone
+        self.tone = None              # None = leave the seeded gate alone
         self.paused = False
         # runtime dump buttons (app._FollowDumps contract: start/stop/
         # active); None = runtime dumps unavailable on this runner
@@ -332,6 +336,10 @@ class CommandProcessor:
                                         jnp.float32),
                 input_rgain=jnp.asarray((100 + self.iqbalance) / 100.0,
                                         jnp.float32))
+        if self.tone is not None:
+            controls = controls._replace(
+                tone_gate=jnp.asarray(1.0 if self.tone else 0.0,
+                                      jnp.float32))
         if self.sound is not None:
             from ..models.receiver import SOUND_MATRICES
             controls = controls._replace(sound_mix=jnp.asarray(
@@ -479,7 +487,8 @@ class CommandProcessor:
 
     def _ctl_sig(self):
         return (self.lo_hz, self.volume_db, self.balance, self.muted,
-                self.squelch_level, self.pano, self.sound, self.iqbalance)
+                self.squelch_level, self.pano, self.sound, self.iqbalance,
+                self.tone)
 
     def _set_paused(self, want: bool):
         """handle_pauseButton (radio.cpp:1871-1893): stop/restart the
@@ -595,6 +604,13 @@ class CommandProcessor:
                 if err:
                     return {"error": err}
                 return {"ok": "dump", "kind": kind, "path": args[1]}
+            if cmd == "tone" and len(args) == 1:
+                # test-tone checkbox (handle_cbTestTone, radio.cpp:243)
+                if not self.rx.cfg.test_tone:
+                    return {"error": "the test-tone stage is not compiled "
+                                     "in; start with --test-tone"}
+                self.tone = args[0].lower() in ("on", "1", "true")
+                return {"ok": "tone", "on": self.tone}
             if cmd == "iqbalance" and len(args) == 1:
                 # setIQBalance (radio.cpp:982-996): input attenuation pair
                 # attL=(100-n)/100, attR=(100+n)/100 via setAttenuation

@@ -740,3 +740,38 @@ def test_dump_without_taps_is_clean_error(two_station_iq, tmp_path):
     assert "not emitted" in resp["error"]
     resp = proc._dispatch("dump audio off", rx.init_state())
     assert resp == {"ok": "dump", "kind": "audio", "stopped": None}
+
+
+def test_tone_toggle(two_station_iq):
+    """handle_cbTestTone (radio.cpp:243): the compiled-in test-tone stage
+    is gated by a traced control — 'tone off' restores the clean program
+    (full gain, no bursts), 'tone on' re-attenuates; without --test-tone
+    the command is a clean error."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+    from sdrjfm_tpu.runtime.stream import run_offline
+
+    iq = two_station_iq[:12 * 12 * BLOCK_FM]
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM, test_tone=True))
+    clean = run_offline(Receiver(ReceiverConfig(block_fm=BLOCK_FM)), iq)
+
+    chan = ScriptedChannel({4: ["tone off"], 8: ["tone on"]})
+    proc = CommandProcessor(rx, chan)
+    res = run_offline(rx, iq, command_hook=proc.apply)
+    blk = BLOCK_FM // 4
+    rms = lambda x: float(np.sqrt(np.mean(np.square(x))))   # noqa: E731
+    # while enabled the program is attenuated 0.1x (fm-processor.cpp:807)
+    assert rms(res.audio[2 * blk:4 * blk]) < \
+        0.2 * rms(clean.audio[2 * blk:4 * blk])
+    # 'tone off' (+1 hook block +1 seam): bit-identical to the clean run
+    np.testing.assert_allclose(res.audio[6 * blk:8 * blk],
+                               clean.audio[6 * blk:8 * blk], atol=1e-6)
+    # 'tone on' re-attenuates
+    assert rms(res.audio[10 * blk:12 * blk]) < \
+        0.2 * rms(clean.audio[10 * blk:12 * blk])
+
+    # without the stage compiled in: clean error
+    rx2 = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    proc2 = CommandProcessor(rx2, None)
+    resp = proc2._dispatch("tone on", rx2.init_state())
+    assert "not compiled in" in resp["error"]
