@@ -726,6 +726,11 @@ def cmd_rx(args) -> int:
                         src = NativeRawSource(args.iq, fmt=iq_fmt,
                                               rate=C.INPUT_RATE, pace=pace,
                                               loop=loop)
+                    if ctl_proc is not None and ctl_proc.source is None:
+                        # every live source takes control-plane commands
+                        # that apply to it (pause = native reader stop;
+                        # non-rtl_tcp sources simply have no tuner entry)
+                        ctl_proc.source = src
                 except (OSError, ValueError) as e:
                     print(f"loading device failed: {args.iq}: {e}",
                           file=sys.stderr)
@@ -734,6 +739,15 @@ def cmd_rx(args) -> int:
                 if args.loop_seconds:
                     max_blocks = max(1, int(args.loop_seconds * C.INPUT_RATE)
                                      // cfg.block_in)
+                # compile the step BEFORE the producer starts: a paced or
+                # live source would overrun its ring during the first
+                # dispatch's trace+compile (seconds) and drop the head of
+                # the stream
+                from .runtime.stream import _jit_init_state, _wire_dtype
+                _z_shape = ((cfg.block_in,) if cfg.iq_format == "c64"
+                            else (cfg.block_in, 2))
+                rx.jit_step()(_jit_init_state(rx), controls,
+                              jnp.zeros(_z_shape, _wire_dtype(cfg)))
                 src.start()
                 try:
                     on_audio_cb = sink.write if sink else None

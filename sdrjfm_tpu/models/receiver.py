@@ -167,6 +167,9 @@ class Controls(NamedTuple):
 
 
 def default_controls(sound: str = "stereo", pano: float = 1.0) -> Controls:
+    # every leaf is a committed jnp array: numpy leaves (the NamedTuple
+    # defaults) would be re-uploaded H2D on every dispatch — the axon
+    # tunnel's worst-case pathology (CLAUDE.md)
     f = jnp.float32
     return Controls(jnp.asarray(0, jnp.int32), jnp.asarray(1.0, f),
                     jnp.asarray(1.0, f), jnp.asarray(1.0, f),
@@ -175,7 +178,8 @@ def default_controls(sound: str = "stereo", pano: float = 1.0) -> Controls:
                     pano=jnp.asarray(pano, f),
                     sound_mix=jnp.asarray(
                         SOUND_MATRICES.get(sound,
-                                           SOUND_MATRICES["stereo"]), f))
+                                           SOUND_MATRICES["stereo"]), f),
+                    tone_gate=jnp.asarray(1.0, f))
 
 
 class Meta(NamedTuple):
@@ -359,9 +363,12 @@ class Receiver:
         exactly where the static selectors point, and the control channel
         can move them from there without a recompile."""
         cfg = self.cfg
-        pano = cfg.panorama if cfg.mode == "stereo_pano" else 1.0
+        # cfg.panorama seeds unconditionally (the traced pano applies in
+        # every mode here — a superset of the reference, whose slider only
+        # acts in StereoPano mode, fm-processor.cpp:520-521 — so a saved
+        # profile's panorama restores regardless of mode)
         sound = cfg.sound if cfg.sound in SOUND_MATRICES else "stereo"
-        return default_controls(sound=sound, pano=pano)
+        return default_controls(sound=sound, pano=cfg.panorama)
 
     def init_state(self) -> ReceiverState:
         """Zero state, built under jit: the axon TPU backend wedges when
@@ -915,4 +922,9 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def jit_step(self):
-        return jax.jit(self.step)
+        # memoized: a fresh jax.jit wrapper has a cold trace cache, so
+        # every runner invocation would retrace/recompile (seconds) —
+        # enough to overrun a paced ring before the first block
+        if getattr(self, "_jit_step_fn", None) is None:
+            self._jit_step_fn = jax.jit(self.step)
+        return self._jit_step_fn

@@ -20,7 +20,7 @@ reference controller semantics:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from .receiver import Controls, Receiver, default_controls
+from .receiver import Controls, Receiver
 from .scanner import scan_decision
 
 
@@ -68,9 +68,13 @@ class RadioController:
     rx: Receiver
     afc_active: bool = False
     lo_freq: int = 0
-    controls: Controls = field(default_factory=default_controls)
+    controls: Optional[Controls] = None
 
     def __post_init__(self):
+        if self.controls is None:
+            # seed from the config so cfg.sound/cfg.panorama (now traced
+            # controls) are honored, exactly like the runners
+            self.controls = self.rx.initial_controls()
         self._step = self.rx.jit_step()
         self.state = self.rx.init_state()
         self._afc = AFCTracker(self.rx.cfg.fm_rate)

@@ -585,7 +585,7 @@ class CommandProcessor:
                                  else self._seed_pano)
                     self._pano_before_mono = None
                 return {"ok": "mono", "mono": self.pano == 0.0}
-            if cmd == "dump" and len(args) == 2:
+            if cmd == "dump" and len(args) >= 2:
                 # the GUI dump buttons start/stop wav dumps while
                 # receiving (handle_dumpButton/audioDumpButton,
                 # radio.cpp:208-209; fm-processor.cpp:338-349,448-455,
@@ -597,13 +597,15 @@ class CommandProcessor:
                 if self.dumps is None:
                     return {"error": "runtime dumps need a live run "
                                      "(rx --follow --control ...)"}
-                if args[1].lower() == "off":
-                    path = self.dumps.stop(kind)
-                    return {"ok": "dump", "kind": kind, "stopped": path}
-                err = self.dumps.start(kind, args[1])
+                # paths may contain spaces (the kind is one token)
+                path = " ".join(args[1:])
+                if path.lower() == "off":
+                    stopped = self.dumps.stop(kind)
+                    return {"ok": "dump", "kind": kind, "stopped": stopped}
+                err = self.dumps.start(kind, path)
                 if err:
                     return {"error": err}
-                return {"ok": "dump", "kind": kind, "path": args[1]}
+                return {"ok": "dump", "kind": kind, "path": path}
             if cmd == "tone" and len(args) == 1:
                 # test-tone checkbox (handle_cbTestTone, radio.cpp:243)
                 if not self.rx.cfg.test_tone:

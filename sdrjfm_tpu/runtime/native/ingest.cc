@@ -408,9 +408,12 @@ void pipe_worker(SdrRawSource* s) {
     }
     size_t have = carry + (size_t)r;
     size_t whole = have - have % fb;
-    if (s->paused.load(std::memory_order_relaxed)) {
+    if (s->paused.load(std::memory_order_relaxed) && s->drop_on_full) {
       // drop_on_full pipe while paused: keep the fd drained so the
-      // producer never stalls, but the frames are lost (live semantics)
+      // producer never stalls, but the frames are lost (live semantics).
+      // A backpressure pipe must NOT discard here — if a pause lands
+      // mid-read, the already-read frames still go to the ring (lossless
+      // contract); the pre-read check stops further pulls.
       s->dropped.fetch_add(whole / fb);
     } else {
       size_t put = 0;

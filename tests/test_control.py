@@ -775,3 +775,66 @@ def test_tone_toggle(two_station_iq):
     proc2 = CommandProcessor(rx2, None)
     resp = proc2._dispatch("tone on", rx2.init_state())
     assert "not compiled in" in resp["error"]
+
+
+def test_pause_stops_paced_file_producer_without_drops(two_station_iq,
+                                                       tmp_path):
+    """Finding-regression: with a paced (real-time) file source wired to
+    the processor, 'pause' stops the native producer — the ring must NOT
+    overrun and drop while the pipeline holds (the file holds position)."""
+    from sdrjfm_tpu.io.wavio import write_iq_wav
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+    from sdrjfm_tpu.runtime.native_source import NativeWavSource
+    from sdrjfm_tpu.runtime.stream import run_live
+
+    import jax.numpy as jnp
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    # compile the step BEFORE the paced producer starts: the first
+    # dispatch's jit compile (~seconds) would otherwise overrun the small
+    # ring on its own
+    rx.jit_step()(rx.init_state(), rx.initial_controls(),
+                  jnp.zeros((rx.cfg.block_in,), jnp.complex64))
+    n_blocks = 8
+    wav = str(tmp_path / "paced.wav")
+    write_iq_wav(wav, two_station_iq[:n_blocks * rx.cfg.block_in],
+                 C.INPUT_RATE)
+    # small ring (2 blocks) so an un-paused producer WOULD overrun during
+    # the ~0.5 s pause window
+    src = NativeWavSource(wav, ring_frames=2 * rx.cfg.block_in, pace=True)
+    chan = ScriptedChannel({2: ["pause"]})
+    # polls 3..12 empty, poll 13 resumes (the pause loop polls at 20 Hz,
+    # so this holds ~0.5 s)
+    chan.script.update({13: ["resume"]})
+    proc = CommandProcessor(rx, chan, source=src)
+    src.start()
+    try:
+        res = run_live(rx, src, command_hook=proc.apply)
+    finally:
+        src.close()
+    assert len(res.meta) == n_blocks
+    assert res.dropped_total == 0
+    assert {"ok": "pause", "paused": True} in chan.responses
+
+
+def test_radiocontroller_honors_cfg_sound():
+    """RadioController seeds its controls from the config (the sound
+    selector is a traced control now): cfg.sound='left' must put the left
+    program in both channels."""
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.models.tuner import RadioController
+
+    n = 6 * 12 * BLOCK_FM
+    t = np.arange(n // 12) / C.FM_RATE
+    mpx = synth.synth_mpx(0.7 * np.sin(2 * np.pi * 1000.0 * t),
+                          0.7 * np.sin(2 * np.pi * 3000.0 * t),
+                          synth.MPXParams())
+    iq = synth.fm_modulate(mpx, C.FM_RATE)
+    rc = RadioController(Receiver(ReceiverConfig(block_fm=BLOCK_FM,
+                                                 rds="off", sound="left")))
+    audio = None
+    T = rc.rx.cfg.block_in
+    for b in range(len(iq) // T):
+        audio = np.asarray(rc.process_block(iq[b * T:(b + 1) * T]).audio)
+    np.testing.assert_allclose(audio[:, 0], audio[:, 1], atol=2e-6)
