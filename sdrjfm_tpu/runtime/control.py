@@ -32,6 +32,11 @@ Wire protocol (one command per line; responses are JSON lines):
     tone on|off      test-tone injector gate (handle_cbTestTone,
                      radio.cpp:243; the stage must be compiled in with
                      --test-tone)
+    step <+/-hz>     relative retune by the given increment, e.g.
+                     'step +100k' (the f+/f- buttons, radio.cpp:220-226)
+    log <path|off>   start/stop per-block metadata JSONL
+                     (handle_loggingButton/logSavingButton,
+                     radio.cpp:232-233; same records as --log-meta)
     pause / resume   stop/restart the reader while keeping the session
                      (handle_pauseButton, radio.cpp:1871-1893; also
                      'pause on|off').  A file source holds its position;
@@ -299,6 +304,7 @@ class CommandProcessor:
         self.iqbalance = None         # None = leave the CLI gains alone
         self.tone = None              # None = leave the seeded gate alone
         self.paused = False
+        self._log_f = None            # runtime meta JSONL (log command)
         # runtime dump buttons (app._FollowDumps contract: start/stop/
         # active); None = runtime dumps unavailable on this runner
         self.dumps = dumps
@@ -446,6 +452,8 @@ class CommandProcessor:
         (state, controls, stop)."""
         if meta:
             self._last_meta = meta
+            if self._log_f is not None:
+                self._log_f.write(json.dumps(meta, default=float) + "\n")
         # dirty iff a command actually changed a traced control: read-only
         # commands (status/stations/gain/agc/ppm) must NOT rebuild the
         # Controls pytree — fresh eager scalars mean extra H2D transfers
@@ -483,6 +491,9 @@ class CommandProcessor:
                                 {"error": f"AFC hardware retune failed: {e}"})
         if dirty:
             controls = self._controls(controls)
+        if stop and self._log_f is not None:
+            self._log_f.close()
+            self._log_f = None
         return state, controls, stop
 
     def _ctl_sig(self):
@@ -606,6 +617,33 @@ class CommandProcessor:
                 if err:
                     return {"error": err}
                 return {"ok": "dump", "kind": kind, "path": path}
+            if cmd == "step" and len(args) == 1:
+                # relative tuning step (the f+/f- increment buttons,
+                # radio.cpp:220-226 handle_f_plus/f_min with fm_increment)
+                tok = args[0]
+                sign = -1 if tok.startswith("-") else 1
+                delta = sign * self._parse_hz(tok.lstrip("+-"))
+                cur = (self.center_hz + self.lo_hz
+                       if self.center_hz is not None else self.lo_hz)
+                return self.tune(cur + delta, state)
+            if cmd == "log" and len(args) >= 1:
+                # runtime per-block meta logging (handle_loggingButton/
+                # logSavingButton, radio.cpp:232-233): JSONL, same record
+                # shape as --log-meta
+                path = " ".join(args)
+                if path.lower() == "off":
+                    if self._log_f is not None:
+                        self._log_f.close()
+                        self._log_f = None
+                    return {"ok": "log", "active": False}
+                try:
+                    f = open(path, "w")
+                except OSError as e:
+                    return {"error": f"log {path!r}: {e}"}
+                if self._log_f is not None:
+                    self._log_f.close()
+                self._log_f = f
+                return {"ok": "log", "path": path}
             if cmd == "tone" and len(args) == 1:
                 # test-tone checkbox (handle_cbTestTone, radio.cpp:243)
                 if not self.rx.cfg.test_tone:

@@ -838,3 +838,31 @@ def test_radiocontroller_honors_cfg_sound():
     for b in range(len(iq) // T):
         audio = np.asarray(rc.process_block(iq[b * T:(b + 1) * T]).audio)
     np.testing.assert_allclose(audio[:, 0], audio[:, 1], atol=2e-6)
+
+
+def test_step_and_log_commands(two_station_iq, tmp_path):
+    """'step +400k' retunes relative to the current tuning (the f+/f-
+    increment buttons, radio.cpp:220-226) and 'log <path>' streams
+    per-block meta JSONL until 'log off' (the logging checkbox,
+    radio.cpp:232-233)."""
+    import jax.numpy as jnp
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.control import CommandProcessor
+    from sdrjfm_tpu.runtime.stream import run_offline
+
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM))
+    logp = str(tmp_path / "meta.jsonl")
+    chan = ScriptedChannel({3: ["log " + logp], 8: ["step +400k"],
+                            12: ["log off"]})
+    proc = CommandProcessor(rx, chan, lo_hz=-200_000)
+    controls = rx.initial_controls()._replace(
+        lo_freq_hz=jnp.asarray(-200_000, jnp.int32))
+    run_offline(rx, two_station_iq[:16 * 12 * BLOCK_FM], controls,
+                command_hook=proc.apply)
+    # step: -200k + 400k = +200k (station B), with the retune reset
+    st = next(r for r in chan.responses if "lo_hz" in r)
+    assert st["lo_hz"] == 200_000 and st.get("retune_reset") is True
+    lines = [json.loads(l) for l in open(logp)]
+    # active from block 4..11 inclusive (closed before block 12's meta)
+    assert 6 <= len(lines) <= 10
+    assert all("pilot_locked" in l and "dc_if" in l for l in lines)
