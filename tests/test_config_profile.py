@@ -101,3 +101,47 @@ def test_control_channel_edits_persist(offset_wav, tmp_path):
     saved = json.load(open(cfg))
     assert saved["freq_offset"] == 250_000
     assert saved["volume_db"] == -9.0
+
+
+def test_pano_and_sound_edits_round_trip(offset_wav, tmp_path):
+    """Live 'pano'/'sound' edits save to the profile and genuinely shape
+    the NEXT run's traced controls (the finding-regression: pano now seeds
+    from cfg.panorama in every mode, so a restored profile applies)."""
+    import os
+    import threading
+
+    from sdrjfm_tpu.app import main
+
+    cfg = str(tmp_path / "profile.json")
+    json.dump({"freq_offset": 250000, "block_fm": BLOCK_FM}, open(cfg, "w"))
+    fifo = str(tmp_path / "ctl.fifo")
+    os.mkfifo(fifo)
+    rc_box = {}
+
+    def run():
+        rc_box["rc"] = main(["rx", "--iq", offset_wav, "--config", cfg,
+                             "--follow", "--loop-seconds", "60",
+                             "--control", fifo])
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    w = os.open(fifo, os.O_WRONLY)
+    os.write(w, b"pano 40\nsound swapped\nquit\n")
+    os.close(w)
+    th.join(120)
+    assert rc_box.get("rc") == 0, rc_box
+    saved = json.load(open(cfg))
+    assert saved["panorama"] == pytest.approx(0.4)
+    assert saved["sound"] == "stereo_swapped"
+
+    # the restored profile seeds the next run's controls
+    from sdrjfm_tpu.models.receiver import (Receiver, ReceiverConfig,
+                                            SOUND_MATRICES)
+    rx = Receiver(ReceiverConfig(block_fm=BLOCK_FM,
+                                 sound=saved["sound"],
+                                 panorama=saved["panorama"]))
+    c = rx.initial_controls()
+    assert float(np.asarray(c.pano)) == pytest.approx(0.4)
+    np.testing.assert_array_equal(
+        np.asarray(c.sound_mix),
+        np.asarray(SOUND_MATRICES["stereo_swapped"], np.float32))
