@@ -170,7 +170,17 @@ def _bench_normal(jax, C, rx, state, controls, blocks, nblocks, ratio):
     sps = nblocks * rx.cfg.block_in / dt
     extra = {}
     if ratio != float("inf"):
+        # the regression is a per-session lottery: re-probe AFTER the
+        # measurement so a clock that degraded mid-run cannot publish
+        from sdrjfm_tpu.runtime.timing_integrity import \
+            check_timing_integrity
+        ok2, ratio2 = check_timing_integrity()
+        if not ok2:
+            import jax.numpy as jnp
+            return _bench_forced(jax, jnp, C, rx, st, controls, blocks,
+                                 nblocks, ratio2)
         extra["integrity_ratio"] = round(ratio, 2)
+        extra["integrity_ratio_post"] = round(ratio2, 2)
     _emit(sps / C.INPUT_RATE, method="block_until_ready", **extra)
     return 0
 
