@@ -61,10 +61,13 @@ def _build_rx_parser(sub):
                             "real_baseband", "difference"])
     p.add_argument("--sound", default="stereo")
     p.add_argument("--panorama", type=float, default=1.0,
-                   help="stereo panorama factor for --mode stereo_pano "
-                        "(slider/100: 0 mono .. 1 stereo .. 2 widened, "
-                        "fm-processor.cpp:277-279); live-editable via the "
-                        "control channel's pano/mono commands")
+                   help="stereo panorama factor (slider/100: 0 mono .. "
+                        "1 stereo .. 2 widened, fm-processor.cpp:277-279). "
+                        "Applies in EVERY stereo mode, not just "
+                        "stereo_pano — a deliberate superset of the "
+                        "reference, which gates it on StereoPano "
+                        "(fm-processor.cpp:520-521); live-editable via "
+                        "the control channel's pano/mono commands")
     p.add_argument("--rds", action="store_true", help="decode RDS")
     p.add_argument("--rds-decoder", default="block",
                    choices=["block", "scan1", "scan2", "scan3"],
@@ -342,8 +345,11 @@ class _FollowDumps:
                     "mpx": (self.cfg.fm_rate, 1),
                     "audio": (self.cfg.audio_rate, 2)}[kind]
         self.stop(kind)
-        setattr(self, self._KIND_ATTR[kind],
-                StreamingWavWriter(path, rate, ch))
+        try:
+            w = StreamingWavWriter(path, rate, ch)
+        except OSError as e:   # unwritable path is a file error, not a
+            return f"dump {path!r}: {e}"  # hardware-command failure
+        setattr(self, self._KIND_ATTR[kind], w)
         return None
 
     def stop(self, kind: str):

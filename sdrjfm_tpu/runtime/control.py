@@ -449,7 +449,13 @@ class CommandProcessor:
 
     def apply(self, state, controls, meta):
         """Runner hook: service commands + AFC; returns
-        (state, controls, stop)."""
+        (state, controls, stop).
+
+        Threading contract: the pause hold below busy-polls the command
+        queue at 20 Hz until resume/quit, so the channel transport MUST be
+        fed from a different thread than the one calling apply() (as
+        ControlChannel's reader thread does) — a caller that services the
+        transport on its own thread would deadlock in pause."""
         if meta:
             self._last_meta = meta
             if self._log_f is not None:

@@ -8,9 +8,10 @@ taken through it on such a session measure the dispatch path, not compute.
 
 Every benchmark that times via block_until_ready must call
 `timing_integrity_ratio()` first and refuse to publish when the ratio is
-flat (`< 3`): chained bf16 4096^2 matmuls, 32 links vs 2 links — 16x the
-FLOPs in the same number of dispatches must move wall time, or the clock
-is lying.
+flat (below `check_timing_integrity`'s threshold, currently 6): chained
+bf16 4096^2 matmuls, 32 links vs 2 links — 16x the FLOPs in the same
+number of dispatches must move wall time ~10-15x on a healthy chip, or
+the clock is lying.
 """
 
 from __future__ import annotations
