@@ -126,9 +126,11 @@ def _build_rx_parser(sub):
     p.add_argument("--lf-plot", default="demod",
                    choices=["if_filtered", "demod", "af_sum", "af_diff",
                             "af_left_filtered", "af_right_filtered",
-                            "af_mono_filtered", "rds_input", "rds_baseband"],
+                            "af_mono_filtered", "rds_input", "rds_baseband",
+                            "rds_demod"],
                    help="LF scope tap for --spectra (ELfPlot, "
-                        "fm-processor.h:84-86; rds_input needs --rds)")
+                        "fm-processor.h:84-86; rds_input/rds_demod need "
+                        "--rds)")
     p.add_argument("--lf-zoom", type=int, default=1,
                    help="LF spectrum zoom factor (ls-scope.cpp:131-176 "
                         "display fold)")

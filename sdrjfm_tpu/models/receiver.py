@@ -426,22 +426,32 @@ class Receiver:
         return None
 
     def _recover_bits(self, z24, bitrec_state):
-        """Dispatch to the selected bit decoder; returns (BitBlock, state)."""
+        """Dispatch to the selected bit decoder; returns
+        (BitBlock, demod24, state).
+
+        demod24 is the 24 kHz decoder-output view for the RDS_DEMOD LF
+        scope tap (fm-processor.h:84-86): mode 1/3 write the shared-Costas
+        output x4 every sample, mode 2 and the block decoder hold the last
+        emitted symbol (the reference's static magCplx,
+        fm-processor.cpp:554-573)."""
         cfg = self.cfg
         if cfg.rds == "block":
             return recover_bits(z24, self.bitrec_cfg, bitrec_state)
         fn = {"scan1": self._sd.decoder1_block,
               "scan2": self._sd.decoder2_block,
               "scan3": self._sd.decoder3_block}[cfg.rds]
-        bits, mask, new_state = fn(z24, self.scan_cfg, bitrec_state)
+        bits, mask, iq, new_state = fn(z24, self.scan_cfg, bitrec_state)
         cap = bit_capacity(cfg.block_rds)
         T = z24.shape[0]
         idx = jnp.nonzero(mask, size=cap, fill_value=T - 1)[0]
         count = jnp.sum(mask.astype(jnp.int32))
         valid = jnp.arange(cap) < count
+        # per-bit constellation points: the decoder's iq stream gathered at
+        # the bit-emission samples (iqBuffer fill, fm-processor.cpp:554-558;
+        # decoder-2's doDecode(cmplx,&iq,&bit), rds-decoder-2.cpp:101-118)
         blk = BitBlock(bits=bits[idx], valid=valid, count=count,
-                       iq=jnp.zeros(cap, jnp.complex64))
-        return blk, new_state
+                       iq=jnp.where(valid, iq[idx], 0j))
+        return blk, iq, new_state
 
     # ------------------------------------------------------------------
     # Front end: 2.304 MS/s -> 192 kS/s.  This is the shardable heavy part;
@@ -718,12 +728,24 @@ class Receiver:
                 # scaled x20 for display (fm-processor.cpp:566-569)
                 taps["rds_input"] = 20.0 * z24
             if not sharded:
-                rds_out, bitrec_state = self._recover_bits(z24, state.bitrec)
+                rds_out, rds_demod24, bitrec_state = \
+                    self._recover_bits(z24, state.bitrec)
             else:
                 # 24 kS/s: gather and decode replicated (bit-identical on
                 # every device)
                 z24_g = jax.lax.all_gather(z24, shard_axis, tiled=True)
-                rds_out, bitrec_state = self._recover_bits(z24_g, state.bitrec)
+                rds_out, rds_demod24, bitrec_state = \
+                    self._recover_bits(z24_g, state.bitrec)
+                # shard the replicated demod view back to local rows so the
+                # taps pytree keeps per-device shapes
+                n_loc = z24.shape[0]
+                rds_demod24 = jax.lax.dynamic_slice(
+                    rds_demod24,
+                    (jax.lax.axis_index(shard_axis) * n_loc,), (n_loc,))
+            if taps is not None:
+                # ELfPlot::RDS_DEMOD (fm-processor.h:84-86): the decoder's
+                # processed output view, fm-processor.cpp:570-573
+                taps["rds_demod"] = rds_demod24
         else:
             phase_delay = state.phase_delay
 

@@ -60,6 +60,9 @@ class BitRecoveryState(NamedTuple):
     tau: Array                # fractional position of the next bit centre
     prev_sym: Array           # last hard symbol (for differential decode)
     timing_locked: Array      # False until the first block-level acquisition
+    last_iq: Array            # last emitted constellation point (the
+                              # reference's static magCplx hold across
+                              # calls, fm-processor.cpp:554-573)
 
 
 def bitrecovery_zero_state(cfg: BitRecoveryConfig) -> BitRecoveryState:
@@ -69,6 +72,7 @@ def bitrecovery_zero_state(cfg: BitRecoveryConfig) -> BitRecoveryState:
         tau=jnp.asarray(0.0, jnp.float32),
         prev_sym=jnp.asarray(False),
         timing_locked=jnp.asarray(False),
+        last_iq=jnp.asarray(0.0 + 0.0j, jnp.complex64),
     )
 
 
@@ -84,8 +88,15 @@ def bit_capacity(block_len: int) -> int:
 
 
 def recover_bits(z: Array, cfg: BitRecoveryConfig,
-                 state: BitRecoveryState) -> Tuple[BitBlock, BitRecoveryState]:
-    """Demodulate one block of RDS baseband (24 kS/s complex) into bits."""
+                 state: BitRecoveryState
+                 ) -> Tuple[BitBlock, Array, BitRecoveryState]:
+    """Demodulate one block of RDS baseband (24 kS/s complex) into bits.
+
+    Returns (BitBlock, demod24, new_state); demod24 is the 24 kHz
+    "decoder output view" — each sample holds the most recently emitted
+    constellation point, the block equivalent of the reference's static
+    magCplx driving the ELfPlot::RDS_DEMOD scope tap
+    (fm-processor.cpp:554-573, fm-processor.h:84-86)."""
     T = z.shape[0]
     assert T % PHASE_SUB == 0
     taps = jnp.asarray(cfg.mf_taps)
@@ -142,10 +153,22 @@ def recover_bits(z: Array, cfg: BitRecoveryConfig,
     # position of the next bit relative to the next block's start
     tau_next = tau0 + count.astype(jnp.float32) * SPS - T
 
+    # --- RDS_DEMOD view: sample-hold of the last emitted point ---------------
+    sym4 = sym * 4.0
+    t = jnp.arange(T, dtype=jnp.float32)
+    j = jnp.floor((t - tau0) / SPS).astype(jnp.int32)    # last bit at/before t
+    j = jnp.minimum(j, count - 1)
+    held = sym4[jnp.clip(j, 0, capacity - 1)]
+    demod24 = jnp.where(j < 0, state.last_iq, held)
+    last_iq = jnp.where(count > 0, sym4[jnp.clip(count - 1, 0, capacity - 1)],
+                        state.last_iq)
+
     new = BitRecoveryState(mf_carry=mf_carry, psi=psi_last, tau=tau_next,
                            prev_sym=prev_sym_last,
-                           timing_locked=jnp.asarray(True))
-    return BitBlock(bits=bits, valid=valid, count=count, iq=sym * 4.0), new
+                           timing_locked=jnp.asarray(True),
+                           last_iq=last_iq)
+    blk = BitBlock(bits=bits, valid=valid, count=count, iq=sym4)
+    return blk, demod24, new
 
 
 def _interp_linear(y: Array, pos: Array) -> Array:

@@ -106,7 +106,13 @@ def decoder1_zero_state(cfg: Decoder1Config) -> Decoder1State:
 
 
 def decoder1_block(z: jax.Array, cfg: Decoder1Config, state: Decoder1State):
-    """Returns (bits i8 [T], emit-mask [T], new state) at sample positions."""
+    """Returns (bits i8 [T], emit-mask [T], iq c64 [T], new state).
+
+    `iq` is the shared-Costas output x4 at every 24 kHz sample — the
+    reference writes `*m = costas(v) * 4` on EVERY doDecode call in mode
+    1/3 (rds-decoder.cpp:79-82), so both the per-bit constellation point
+    (gathered at emit positions) and the RDS_DEMOD scope stream come from
+    this one stream."""
     lp = jnp.asarray(cfg.lp21)
     mk = jnp.asarray(cfg.match)
     num = jnp.asarray(cfg.sharp.num)
@@ -135,10 +141,10 @@ def decoder1_block(z: jax.Array, cfg: Decoder1Config, state: Decoder1State):
         prev_bit = jnp.where(emit, the_bit, st.prev_bit)
         new = Decoder1State(cst, lbuf[1:], mbuf[1:], w, fbuf[1:],
                             mag, slope, v2, prev_bit)
-        return new, (bit.astype(jnp.int8), emit)
+        return new, (bit.astype(jnp.int8), emit, r * 4.0)
 
-    state, (bits, mask) = jax.lax.scan(step, state, z)
-    return bits, mask, state
+    state, (bits, mask, iq) = jax.lax.scan(step, state, z)
+    return bits, mask, iq, state
 
 
 # --------------------------------------------------------------------------
@@ -166,6 +172,9 @@ class Decoder2State(NamedTuple):
     skip: jax.Array
     mu: jax.Array
     prev_bit: jax.Array
+    last_iq: jax.Array        # held post-Costas symbol (the reference's
+                              # static magCplx, written only on symbol
+                              # emission in mode 2, rds-decoder-2.cpp:101-118)
 
 
 def decoder2_zero_state(cfg: Decoder2Config) -> Decoder2State:
@@ -176,7 +185,7 @@ def decoder2_zero_state(cfg: Decoder2Config) -> Decoder2State:
         costas_zero_state(),
         jnp.asarray(0j, c), jnp.asarray(0j, c), jnp.asarray(0j, c),
         jnp.asarray(0, jnp.int32), jnp.asarray(3, jnp.int32),
-        jnp.asarray(0.0, f), jnp.asarray(False))
+        jnp.asarray(0.0, f), jnp.asarray(False), jnp.asarray(0j, c))
 
 
 def decoder2_block(z: jax.Array, cfg: Decoder2Config, state: Decoder2State):
@@ -213,6 +222,7 @@ def decoder2_block(z: jax.Array, cfg: Decoder2Config, state: Decoder2State):
         cst, r = _costas_step(st.costas, s2, c_alpha, c_beta, limit)
         the_bit = jnp.real(r) >= 0
         bit = the_bit ^ st.prev_bit
+        iq = jnp.where(sample_now, r, st.last_iq)
 
         new = Decoder2State(
             buf[1:], gain,
@@ -222,11 +232,12 @@ def decoder2_block(z: jax.Array, cfg: Decoder2Config, state: Decoder2State):
             jnp.where(sample_now, 0, count),
             jnp.where(sample_now, skip_new, st.skip),
             jnp.where(sample_now, mu_new, st.mu),
-            jnp.where(sample_now, the_bit, st.prev_bit))
-        return new, (bit.astype(jnp.int8), sample_now)
+            jnp.where(sample_now, the_bit, st.prev_bit),
+            iq)
+        return new, (bit.astype(jnp.int8), sample_now, iq)
 
-    state, (bits, mask) = jax.lax.scan(step, state, z)
-    return bits, mask, state
+    state, (bits, mask, iq) = jax.lax.scan(step, state, z)
+    return bits, mask, iq, state
 
 
 # --------------------------------------------------------------------------
@@ -326,7 +337,7 @@ def decoder3_block(z: jax.Array, cfg: Decoder3Config, state: Decoder3State):
             jnp.mod(bit_clk_phase + omega, 2.0 * jnp.pi),
             clk, jnp.where(emit, the_bit, st.prev_bit),
             jnp.asarray(False))
-        return new, (bit.astype(jnp.int8), emit)
+        return new, (bit.astype(jnp.int8), emit, r * 4.0)
 
-    state, (bits, mask) = jax.lax.scan(step, state, z)
-    return bits, mask, state
+    state, (bits, mask, iq) = jax.lax.scan(step, state, z)
+    return bits, mask, iq, state

@@ -37,13 +37,16 @@ def test_scan_decoder_recovers_groups(baseband24k, which):
     z, _ = baseband24k
     if which == "1":
         cfg = SD.make_decoder1_config()
-        bits, mask, _ = SD.decoder1_block(z, cfg, SD.decoder1_zero_state(cfg))
+        bits, mask, _, _ = SD.decoder1_block(z, cfg,
+                                             SD.decoder1_zero_state(cfg))
     elif which == "2":
         cfg = SD.make_decoder2_config()
-        bits, mask, _ = SD.decoder2_block(z, cfg, SD.decoder2_zero_state(cfg))
+        bits, mask, _, _ = SD.decoder2_block(z, cfg,
+                                             SD.decoder2_zero_state(cfg))
     else:
         cfg = SD.make_decoder3_config()
-        bits, mask, _ = SD.decoder3_block(z, cfg, SD.decoder3_zero_state(cfg))
+        bits, mask, _, _ = SD.decoder3_block(z, cfg,
+                                             SD.decoder3_zero_state(cfg))
     got = np.asarray(bits)[np.asarray(mask)]
     # expect roughly bitclock-rate output
     assert abs(len(got) - 6.0 * C.RDS_BITCLK_HZ) < 0.05 * 6 * C.RDS_BITCLK_HZ, \
@@ -83,8 +86,8 @@ def test_decoder3_resync_feedback_recovers_clock():
         live = LiveRDSDecoder()
         groups_per_block = []
         for b in range(nblk):
-            bits, mask, st = SD.decoder3_block(jnp.asarray(blocks[b]),
-                                               cfg, st)
+            bits, mask, _, st = SD.decoder3_block(jnp.asarray(blocks[b]),
+                                                  cfg, st)
             got = np.asarray(bits)[np.asarray(mask)]
             before = live.sync.groups_decoded
             resync = live.feed(got)
