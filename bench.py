@@ -94,21 +94,16 @@ def _emit(realtime_x, **extra):
     sys.stdout.flush()
 
 
-def main():
+def _make_inputs(fmt):
+    """(receiver, state, controls, device blocks) for a wire format."""
     import jax
     import jax.numpy as jnp
     from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
     from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
 
-    # i16 wire format: the capture-faithful input (the reference's file
-    # source is 16-bit PCM wav, filehulp.cpp:61-63, and its handlers convert
-    # u8/i16 to float on the host CPU in getSamples; here the conversion is
-    # fused on-device).  Halves the input-read HBM traffic — the chain's
-    # throughput ceiling (tools/bench_variants.py: c64 38.8kx / i16 46.7kx /
-    # u8 57.6kx).
     cfg = ReceiverConfig(block_fm=131072, rds="block", audio_filter_hz=15000,
-                         iq_format="i16")
+                         iq_format=fmt)
     rx = Receiver(cfg)
     controls = rx.initial_controls()
     state = rx.init_state()
@@ -124,9 +119,27 @@ def main():
     bits = (rng.random(30000) > 0.5).astype(np.int8)
     mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
     iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in * nblocks]
-    i16 = synth.iq_to_i16(iq_np)
-    blocks = jax.device_put(jnp.asarray(i16)
+    wire = synth.iq_to_i16(iq_np) if fmt == "i16" else synth.iq_to_u8(iq_np)
+    blocks = jax.device_put(jnp.asarray(wire)
                             .reshape(nblocks, cfg.block_in, 2))
+    return rx, state, controls, blocks, nblocks
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sdrjfm_tpu import constants as C
+
+    # i16 wire format: the capture-faithful input (the reference's file
+    # source is 16-bit PCM wav, filehulp.cpp:61-63, and its handlers convert
+    # u8/i16 to float on the host CPU in getSamples; here the conversion is
+    # fused on-device).  Halves the input-read HBM traffic — the chain's
+    # throughput ceiling.  The u8 variant (rtl_sdr raw captures,
+    # rtlsdr-handler.cpp:285-294) halves it again; per-dispatch data said
+    # u8 is worth ~20-25% at the roofline (tools/bench_variants.py:
+    # c64 38.8kx / i16 46.7kx / u8 57.6kx), so u8 is also measured and
+    # published as a secondary record in the same JSON line.
+    rx, state, controls, blocks, nblocks = _make_inputs("i16")
 
     from sdrjfm_tpu.runtime.timing_integrity import check_timing_integrity
     ok, ratio = check_timing_integrity()
@@ -137,8 +150,8 @@ def main():
                          nblocks, ratio)
 
 
-def _bench_normal(jax, C, rx, state, controls, blocks, nblocks, ratio):
-    """Healthy runtime: time the one-dispatch 64-block scan directly."""
+def _time_chain(jax, rx, state, controls, blocks, nblocks):
+    """Best-of-20 wall time of the one-dispatch 64-block scan."""
     import time as _time
 
     # timed: scan-driven run — the whole multi-block pipeline is ONE
@@ -167,8 +180,23 @@ def _bench_normal(jax, C, rx, state, controls, blocks, nblocks, ratio):
         st, outs = run(st, controls, blocks)
         jax.block_until_ready(outs.audio)
         dt = min(dt, _time.time() - t0)
+    return dt, st
+
+
+def _bench_normal(jax, C, rx, state, controls, blocks, nblocks, ratio):
+    """Healthy runtime: time i16 (headline) and u8 wire formats."""
+    dt, st = _time_chain(jax, rx, state, controls, blocks, nblocks)
     sps = nblocks * rx.cfg.block_in / dt
     extra = {}
+    # u8 wire format (rtl_sdr raw captures): half the input-read bytes of
+    # i16 — the chain's roofline axis
+    try:
+        rx8, st8, ctl8, blocks8, _ = _make_inputs("u8")
+        dt8, _ = _time_chain(jax, rx8, st8, ctl8, blocks8, nblocks)
+        extra["u8_x_realtime"] = round(
+            nblocks * rx8.cfg.block_in / dt8 / C.INPUT_RATE, 1)
+    except Exception as e:  # u8 must never sink the headline record
+        extra["u8_error"] = repr(e)
     if ratio != float("inf"):
         # the regression is a per-session lottery: re-probe AFTER the
         # measurement so a clock that degraded mid-run cannot publish
@@ -208,6 +236,17 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
            f"changed block_until_ready wall time only {ratio:.2f}x "
            f"(see bench.py docstring)")
 
+    # cheap D2H health probe BEFORE paying the big fallback compile: on
+    # sessions where transfers are wedged the first 4-byte fetch already
+    # stalls, and 10 minutes of watchdog budget buys nothing (r3: the
+    # forced path never concluded on a regressed session)
+    probe = jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))
+    pv = _fetch_with_timeout(probe, float(os.environ.get(
+        "BENCH_D2H_PROBE_S", "60")))
+    if pv is None:
+        stale(why + "; D2H probe (4-byte fetch) wedged — transfers are "
+                    "down session-wide, skipping the slope fallback")
+
     box = {}
     worker = threading.Thread(
         target=_forced_attempt,
@@ -226,52 +265,52 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
 def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
                     ratio, why):
 
-    def repeat_fn(R):
-        @jax.jit
-        def run_repeat(state):
-            def rep(i, carry):
-                st, acc = carry
+    # R is a TRACED argument: fori_loop takes dynamic bounds, so both
+    # repeat counts share ONE compile (r3's fallback compiled two separate
+    # programs and the second compile blew the watchdog)
+    @jax.jit
+    def run_repeat(state, R):
+        def rep(i, carry):
+            st, acc = carry
 
-                def body(s, blk):
-                    s, out = rx.step(s, controls, blk)
-                    # cheap data dependency on every output so nothing in
-                    # the chain is dead-code-eliminated inside the loop
-                    return s, jnp.sum(out.audio)
+            def body(s, blk):
+                s, out = rx.step(s, controls, blk)
+                # cheap data dependency on every output so nothing in
+                # the chain is dead-code-eliminated inside the loop
+                return s, jnp.sum(out.audio)
 
-                st, sums = jax.lax.scan(body, st, blocks)
-                return (st, acc + jnp.sum(sums) * jnp.float32(1e-6))
+            st, sums = jax.lax.scan(body, st, blocks)
+            return (st, acc + jnp.sum(sums) * jnp.float32(1e-6))
 
-            st, acc = jax.lax.fori_loop(0, R, rep, (state,
-                                                    jnp.float32(0.0)))
-            return acc
-        return run_repeat
+        st, acc = jax.lax.fori_loop(0, R, rep,
+                                    (state, jnp.float32(0.0)))
+        return acc
 
     R_LO, R_HI = 512, 4608
-    f_lo, f_hi = repeat_fn(R_LO), repeat_fn(R_HI)
     deadline = time.time() + 480.0
 
     # warmup: compile + the first-D2H lottery (on regressed sessions the
     # first transfer has been observed to take 100 s or never return)
-    v = _fetch_with_timeout(f_lo(state), 240.0)
+    v = _fetch_with_timeout(run_repeat(state, jnp.int32(2)), 240.0)
     if v is None or not np.isfinite(float(v)):
         box["why"] = (why + "; D2H-forced fallback also unavailable "
                             "(first fetch wedged or non-finite)")
         return
 
-    def timed(f):
+    def timed(R):
         best = float("inf")
         for _ in range(2):
             if time.time() > deadline:
                 return None
             t0 = time.time()
-            r = _fetch_with_timeout(f(state), 180.0)
+            r = _fetch_with_timeout(run_repeat(state, jnp.int32(R)), 180.0)
             if r is None:
                 return None
             best = min(best, time.time() - t0)
         return best
 
-    dt_lo = timed(f_lo)
-    dt_hi = timed(f_hi) if dt_lo is not None else None
+    dt_lo = timed(R_LO)
+    dt_hi = timed(R_HI) if dt_lo is not None else None
     if dt_lo is None or dt_hi is None or dt_hi <= dt_lo:
         box["why"] = (why + "; D2H-forced slope timing failed "
                             f"(dt_lo={dt_lo}, dt_hi={dt_hi})")
