@@ -63,7 +63,9 @@ def _normalize(z: Array) -> Array:
 
 def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
                      rate: int = C.FM_RATE,
-                     shard_axis=None) -> Tuple[Array, DemodState, Array]:
+                     shard_axis=None,
+                     defer_tail: bool = False
+                     ) -> Tuple[Array, DemodState, Array]:
     """Demodulate a block of complex baseband at the fm rate.
 
     Returns (audio-rate-192k demod [T] float32, new state, carrier amplitude
@@ -72,7 +74,11 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
 
     With `shard_axis` (inside shard_map over a time mesh) the 1-2 sample
     lookback crosses the device boundary via ppermute and the trackers use
-    the distributed recurrence decomposition.
+    the distributed recurrence decomposition; the AM-carrier and AFC
+    trackers share ONE gather (dist_ema2).  `defer_tail` (sharded callers
+    only) leaves state.prev1/prev2 as LOCAL candidates — the caller
+    resolves them to the last device's in its fused end-of-chain gather
+    instead of paying a dedicated collective here.
     """
     if shard_axis is None:
         _ema = lambda x, a, y0: ema_apply(x, a, y0)
@@ -81,7 +87,17 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
         _ema = lambda x, a, y0: dist_ema(x, a, y0, shard_axis)
 
     mag = jnp.abs(z)
-    am_track, am_last = _ema(mag, C.CARRIER_ALPHA, state.am_carr)
+    if shard_axis is None:
+        am_track, am_last = _ema(mag, C.CARRIER_ALPHA, state.am_carr)
+    elif decoder == "am":
+        # AM needs am_track before res, but its AFC drive is zeros — the
+        # two trackers are still independent, so they share one gather
+        from ..parallel.distributed import dist_ema2
+        (am_track, am_last), (afc_track_am, afc_last_am) = dist_ema2(
+            mag, C.CARRIER_ALPHA, state.am_carr,
+            jnp.zeros_like(mag), C.FM_DC_ALPHA, state.fm_afc, shard_axis)
+    else:
+        am_track = am_last = None      # paired with the AFC gather below
 
     zn = _normalize(z)
     if shard_axis is None:
@@ -93,8 +109,11 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
 
     if decoder == "am":
         res = _decode_am(mag, am_track)
-        afc_track, afc_last = _ema(res * 0, C.FM_DC_ALPHA, state.fm_afc)
-        p1n, p2n = _stream_tail2(zn, state, shard_axis)
+        if shard_axis is None:
+            afc_track, afc_last = _ema(res * 0, C.FM_DC_ALPHA, state.fm_afc)
+        else:
+            afc_last = afc_last_am      # from the shared gather above
+        p1n, p2n = _stream_tail2(zn, state, shard_axis, defer_tail)
         new = state._replace(prev1=p1n, prev2=p2n, am_carr=am_last,
                              fm_afc=afc_last)
         return res, new, am_track
@@ -129,10 +148,17 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
-    afc_track, afc_last = _ema(res, C.FM_DC_ALPHA, state.fm_afc)
+    if shard_axis is None:
+        afc_track, afc_last = _ema(res, C.FM_DC_ALPHA, state.fm_afc)
+    else:
+        # one gather serves the AM-carrier and AFC trackers (dist_ema2)
+        from ..parallel.distributed import dist_ema2
+        (am_track, am_last), (afc_track, afc_last) = dist_ema2(
+            mag, C.CARRIER_ALPHA, state.am_carr,
+            res, C.FM_DC_ALPHA, state.fm_afc, shard_axis)
     out = C.DEMOD_GAIN * (res - afc_track) / C.k_fm(rate)
 
-    prev1_new, prev2_new = _stream_tail2(zn, state, shard_axis)
+    prev1_new, prev2_new = _stream_tail2(zn, state, shard_axis, defer_tail)
     new = state._replace(prev1=prev1_new, prev2=prev2_new,
                          fm_afc=afc_last, am_carr=am_last)
     if decoder == "pll":
@@ -140,9 +166,14 @@ def demodulate_block(z: Array, state: DemodState, decoder: str = "mixed",
     return out.astype(jnp.float32), new, am_track
 
 
-def _stream_tail2(zn: Array, state: DemodState, shard_axis):
-    """(z[-1], z[-2]) of the global stream — on the last device when sharded."""
-    if shard_axis is None:
+def _stream_tail2(zn: Array, state: DemodState, shard_axis,
+                  defer_tail: bool = False):
+    """(z[-1], z[-2]) of the global stream — on the last device when sharded.
+
+    With `defer_tail` the LOCAL tail is returned as a candidate; the
+    caller resolves it to the last device's in its fused end-of-chain
+    gather (see Receiver.fm_chain) instead of a dedicated collective."""
+    if shard_axis is None or defer_tail:
         return zn[-1], (zn[-2] if zn.shape[0] >= 2 else state.prev1)
     tail2 = jax.lax.all_gather(zn[-2:], shard_axis, tiled=True)
     return tail2[-1], tail2[-2]

@@ -104,8 +104,10 @@ def noise_squelch(x: Array, level: Array, cfg: SquelchConfig,
     ah_p = ah.reshape(nper, H)[:, -1]
     al_p = al.reshape(nper, H)[:, -1]
     if shard_axis is not None:
-        ah_p = jax.lax.all_gather(ah_p, shard_axis, tiled=True)
-        al_p = jax.lax.all_gather(al_p, shard_axis, tiled=True)
+        # one packed gather for both band averages (collective budget)
+        g = jax.lax.all_gather(jnp.stack([ah_p, al_p]), shard_axis,
+                               axis=1, tiled=True)
+        ah_p, al_p = g[0], g[1]
 
     def decide(sup, inp):
         a_h, a_l = inp

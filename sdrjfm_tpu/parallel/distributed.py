@@ -128,6 +128,60 @@ def dist_ema(x_local: Array, alpha: float, y0, axis: str):
     return dist_linrec(alpha * x_local, 1.0 - alpha, y0, axis)
 
 
+def _linrec_finish(y_free: Array, g, y0, lasts: Array, axis: str):
+    """Entry-state fold shared by dist_linrec/dist_linrec2: given the local
+    free response and the gathered per-device last free samples [P],
+    return (y_local, y_final) exactly as dist_linrec computes them."""
+    T = y_free.shape[0]
+    G = jnp.asarray(g, y_free.dtype) ** T
+    P = lasts.shape[0]
+    idx = jax.lax.axis_index(axis)
+
+    def body(k, c):
+        return jnp.where(k < idx, c * G + lasts[k], c)
+
+    c_d = jax.lax.fori_loop(0, P, body, jnp.asarray(y0, y_free.dtype))
+    # same power expression as dist_linrec (f32 exponent) so the two paths
+    # round identically
+    decay = jnp.asarray(g, y_free.dtype) ** jnp.arange(
+        1, T + 1, dtype=jnp.float32)
+    decay = decay.astype(y_free.dtype)
+    y_local = y_free + decay * c_d
+
+    def body_all(k, c):
+        return c * G + lasts[k]
+
+    y_final = jax.lax.fori_loop(0, P, body_all,
+                                jnp.asarray(y0, y_free.dtype))
+    return y_local, y_final
+
+
+def dist_linrec2(d1: Array, g1: float, y01, d2: Array, g2: float, y02,
+                 axis: str):
+    """TWO independent first-order recurrences sharing ONE all_gather.
+
+    Equivalent to (dist_linrec(d1,g1,y01), dist_linrec(d2,g2,y02)) —
+    bit-identical, the gather just carries both last-free-samples in one
+    packed [P, 2] matrix (collective budget: each extra sub-KB gather on a
+    1-D mesh is a full latency hop).  Returns ((y1, f1), (y2, f2))."""
+    z1 = jnp.zeros((), d1.dtype)
+    z2 = jnp.zeros((), d2.dtype)
+    y1_free, _ = B.linrec_apply(d1, g1, z1)
+    y2_free, _ = B.linrec_apply(d2, g2, z2)
+    lasts = jax.lax.all_gather(jnp.stack([y1_free[-1], y2_free[-1]]),
+                               axis)                      # [P, 2]
+    r1 = _linrec_finish(y1_free, g1, y01, lasts[:, 0], axis)
+    r2 = _linrec_finish(y2_free, g2, y02, lasts[:, 1], axis)
+    return r1, r2
+
+
+def dist_ema2(x1: Array, a1: float, y01, x2: Array, a2: float, y02,
+              axis: str):
+    """Two independent EMAs sharing one gather (see dist_linrec2)."""
+    return dist_linrec2(a1 * x1, 1.0 - a1, y01, a2 * x2, 1.0 - a2, y02,
+                        axis)
+
+
 def dist_linrec_multi(drive_local: Array, gs: Array, y0s: Array,
                       axis: str) -> Tuple[Array, Array]:
     """P first-order recurrences sharing one drive, across the mesh.

@@ -1,14 +1,15 @@
-"""Worker process for the true multi-process multihost test.
+"""Worker process for the true multi-process multihost path.
 
-Launched N times by tests/test_multihost.py::test_two_process_distributed
-with `python multihost_worker.py <coord_port> <proc_id> <num_procs>
-<devices_per_proc> <out_json>`.  Each process owns `devices_per_proc`
-virtual CPU devices, initializes jax.distributed against the shared
-coordinator, stages ONLY its own contiguous time slice of each block
-(parallel/multihost.host_slice + global_iq_block — the DCN ingest recipe),
-and runs the FullyShardedReceiver over the global mesh.  Replicated outputs
-(RDS bits, audio RMS) are written as JSON for the parent to compare with a
-single-process run of the same mesh size.
+Launched N times (by tests/test_multihost.py::test_two_process_distributed
+and by __graft_entry__.dryrun_multichip) with
+`python -m sdrjfm_tpu.parallel.multihost_worker <coord_port> <proc_id>
+<num_procs> <devices_per_proc> <out_json> [nblocks]`.  Each process owns
+`devices_per_proc` virtual CPU devices, initializes jax.distributed
+against the shared coordinator, stages ONLY its own contiguous time slice
+of each block (parallel/multihost.host_slice + global_iq_block — the DCN
+ingest recipe), and runs the FullyShardedReceiver over the global mesh.
+Replicated outputs (RDS bits, audio RMS) are written as JSON for the
+parent to compare with a single-process run of the same mesh size.
 """
 
 import json
@@ -18,6 +19,7 @@ import sys
 
 def main():
     port, pid, nproc, dpp, out_path = sys.argv[1:6]
+    nblocks = int(sys.argv[6]) if len(sys.argv) > 6 else 3
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={dpp}")
@@ -40,7 +42,6 @@ def main():
 
     # deterministic capture, built identically on every host (a real
     # deployment reads per-host slices from its own front end / shard)
-    nblocks = 3
     cfg = ReceiverConfig(block_fm=16384, rds="block", iq_format="i16")
     n_fm = cfg.block_fm * nblocks
     t = np.arange(n_fm) / C.FM_RATE

@@ -823,3 +823,244 @@ void sdr_rtltcp_close(SdrTcpSource* s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// In-process RTL-SDR device via dlopen(librtlsdr) — the reference's
+// rtlsdr-handler loads the vendor library at runtime and degrades
+// gracefully when it is absent (devices/rtlsdr-handler/rtlsdr-handler.cpp:
+// 102-116 QLibrary load + symbol resolution -> "loading device failed");
+// acquisition is an async-callback thread feeding a ring whose consumer
+// converts u8 frames (:285-294 — here the conversion is the receiver's
+// on-device iq_format='u8' stage, so the ring carries raw bytes).
+// C ABI mirrors the other sources; the library name is parameterised so
+// tests can drive the full path against an in-tree fake librtlsdr.
+// ---------------------------------------------------------------------------
+
+#include <dlfcn.h>
+
+namespace {
+
+typedef void (*rtlsdr_cb_t)(unsigned char* buf, uint32_t len, void* ctx);
+
+struct RtlApi {
+  void* dl = nullptr;
+  uint32_t (*get_device_count)();
+  const char* (*get_device_name)(uint32_t);
+  int (*open)(void**, uint32_t);
+  int (*close)(void*);
+  int (*set_sample_rate)(void*, uint32_t);
+  int (*set_center_freq)(void*, uint32_t);
+  uint32_t (*get_center_freq)(void*);
+  int (*set_tuner_gain_mode)(void*, int);
+  int (*set_tuner_gain)(void*, int);
+  int (*set_agc_mode)(void*, int);
+  int (*set_freq_correction)(void*, int);
+  int (*reset_buffer)(void*);
+  int (*read_async)(void*, rtlsdr_cb_t, void*, uint32_t, uint32_t);
+  int (*cancel_async)(void*);
+};
+
+char g_rtl_error[256] = "";
+
+void set_rtl_error(const char* msg) {
+  snprintf(g_rtl_error, sizeof(g_rtl_error), "%s", msg);
+}
+
+template <typename T>
+bool resolve(void* dl, const char* name, T* out) {
+  *out = reinterpret_cast<T>(dlsym(dl, name));
+  if (!*out) {
+    std::string m = std::string("missing symbol ") + name;
+    set_rtl_error(m.c_str());
+    return false;
+  }
+  return true;
+}
+
+bool load_rtl_api(const char* libname, RtlApi* api) {
+  const char* candidates[] = {libname, "librtlsdr.so", "librtlsdr.so.0",
+                              "librtlsdr.so.2"};
+  void* dl = nullptr;
+  for (const char* c : candidates) {
+    if (!c) continue;
+    dl = dlopen(c, RTLD_NOW | RTLD_LOCAL);
+    if (dl) break;
+  }
+  if (!dl) {
+    set_rtl_error(dlerror() ? dlerror() : "dlopen(librtlsdr) failed");
+    return false;
+  }
+  api->dl = dl;
+  // the same symbol set the reference resolves (rtlsdr-handler.cpp
+  // GETPROCADDRESS block) minus the GUI-only gain enumeration
+  if (!resolve(dl, "rtlsdr_get_device_count", &api->get_device_count) ||
+      !resolve(dl, "rtlsdr_get_device_name", &api->get_device_name) ||
+      !resolve(dl, "rtlsdr_open", &api->open) ||
+      !resolve(dl, "rtlsdr_close", &api->close) ||
+      !resolve(dl, "rtlsdr_set_sample_rate", &api->set_sample_rate) ||
+      !resolve(dl, "rtlsdr_set_center_freq", &api->set_center_freq) ||
+      !resolve(dl, "rtlsdr_get_center_freq", &api->get_center_freq) ||
+      !resolve(dl, "rtlsdr_set_tuner_gain_mode", &api->set_tuner_gain_mode) ||
+      !resolve(dl, "rtlsdr_set_tuner_gain", &api->set_tuner_gain) ||
+      !resolve(dl, "rtlsdr_set_agc_mode", &api->set_agc_mode) ||
+      !resolve(dl, "rtlsdr_set_freq_correction", &api->set_freq_correction) ||
+      !resolve(dl, "rtlsdr_reset_buffer", &api->reset_buffer) ||
+      !resolve(dl, "rtlsdr_read_async", &api->read_async) ||
+      !resolve(dl, "rtlsdr_cancel_async", &api->cancel_async)) {
+    dlclose(dl);
+    api->dl = nullptr;
+    return false;
+  }
+  return true;
+}
+
+struct SdrRtlUsbSource {
+  SpscRing<uint8_t> ring;       // raw u8 IQ frames (2 bytes each)
+  RtlApi api;
+  void* dev = nullptr;
+  std::thread worker;
+  std::atomic<bool> running{false};
+  std::atomic<uint64_t> dropped{0};
+  std::atomic<int> eof{0};
+  std::atomic<bool> paused{false};
+  uint32_t rate = 0;
+
+  explicit SdrRtlUsbSource(size_t ring_frames) : ring(ring_frames * 2) {}
+};
+
+// async callback (runs on librtlsdr's USB thread): raw bytes -> ring.
+// A full ring or a paused reader drops whole frames and counts them —
+// live-source semantics (the hardware keeps streaming regardless).
+void rtl_async_cb(unsigned char* buf, uint32_t len, void* ctx) {
+  auto* s = static_cast<SdrRtlUsbSource*>(ctx);
+  len -= len % 2;
+  if (!s->running.load(std::memory_order_relaxed)) return;
+  if (s->paused.load(std::memory_order_relaxed)) {
+    s->dropped.fetch_add(len / 2);
+    return;
+  }
+  size_t put = s->ring.put(buf, len);
+  if (put < len) s->dropped.fetch_add((len - put) / 2);
+}
+
+void rtl_worker(SdrRtlUsbSource* s) {
+  // blocks until cancel_async or device loss; 0/0 = librtlsdr defaults
+  s->api.read_async(s->dev, rtl_async_cb, s, 0, 0);
+  s->eof.store(1);              // stream over (stop or device gone)
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* sdr_rtlsdr_last_error() { return g_rtl_error; }
+
+// Open dongle `dev_index`; libname may be NULL (search standard sonames) —
+// tests pass the in-tree fake.  NULL return => sdr_rtlsdr_last_error().
+SdrRtlUsbSource* sdr_rtlsdr_open(const char* libname, uint32_t dev_index,
+                                 size_t ring_frames, uint32_t rate) {
+  auto* s = new SdrRtlUsbSource(ring_frames);
+  if (!load_rtl_api(libname, &s->api)) {
+    delete s;
+    return nullptr;
+  }
+  uint32_t n = s->api.get_device_count();
+  if (n == 0 || dev_index >= n) {
+    set_rtl_error(n == 0 ? "no rtlsdr device found"
+                         : "rtlsdr device index out of range");
+    dlclose(s->api.dl);
+    delete s;
+    return nullptr;
+  }
+  if (s->api.open(&s->dev, dev_index) != 0 || !s->dev) {
+    set_rtl_error("rtlsdr_open failed (device busy or permission)");
+    dlclose(s->api.dl);
+    delete s;
+    return nullptr;
+  }
+  s->rate = rate;
+  if (s->api.set_sample_rate(s->dev, rate) != 0) {
+    set_rtl_error("rtlsdr_set_sample_rate failed");
+    s->api.close(s->dev);
+    dlclose(s->api.dl);
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+uint32_t sdr_rtlsdr_rate(SdrRtlUsbSource* s) { return s->rate; }
+
+int sdr_rtlsdr_set_freq(SdrRtlUsbSource* s, uint32_t hz) {
+  return s->api.set_center_freq(s->dev, hz);
+}
+uint32_t sdr_rtlsdr_get_freq(SdrRtlUsbSource* s) {
+  return s->api.get_center_freq(s->dev);
+}
+int sdr_rtlsdr_set_gain_mode(SdrRtlUsbSource* s, int manual) {
+  return s->api.set_tuner_gain_mode(s->dev, manual);
+}
+int sdr_rtlsdr_set_gain(SdrRtlUsbSource* s, int tenth_db) {
+  return s->api.set_tuner_gain(s->dev, tenth_db);
+}
+int sdr_rtlsdr_set_agc(SdrRtlUsbSource* s, int on) {
+  return s->api.set_agc_mode(s->dev, on);
+}
+int sdr_rtlsdr_set_ppm(SdrRtlUsbSource* s, int ppm) {
+  // librtlsdr returns -2 for "already that value"; not an error here
+  int r = s->api.set_freq_correction(s->dev, ppm);
+  return (r == 0 || r == -2) ? 0 : r;
+}
+
+void sdr_rtlsdr_start(SdrRtlUsbSource* s) {
+  if (s->running.load()) return;
+  s->api.reset_buffer(s->dev);
+  s->running.store(true);
+  s->eof.store(0);
+  s->worker = std::thread(rtl_worker, s);
+}
+
+void sdr_rtlsdr_pause(SdrRtlUsbSource* s, int on) {
+  s->paused.store(on != 0);
+}
+
+void sdr_rtlsdr_flush(SdrRtlUsbSource* s) { s->ring.reset(); }
+
+void sdr_rtlsdr_stop(SdrRtlUsbSource* s) {
+  if (!s->running.load()) return;
+  s->running.store(false);
+  s->api.cancel_async(s->dev);
+  if (s->worker.joinable()) s->worker.join();
+}
+
+size_t sdr_rtlsdr_read_blocking(SdrRtlUsbSource* s, uint8_t* dst,
+                                size_t n_frames, long timeout_ms) {
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < n_frames) {
+    got += s->ring.get(dst + 2 * got, (n_frames - got) * 2) / 2;
+    if (got >= n_frames) break;
+    if (s->eof.load() && s->ring.readAvailable() < 2) break;
+    if (timeout_ms >= 0 && std::chrono::steady_clock::now() > deadline) break;
+    std::this_thread::sleep_for(std::chrono::microseconds(500));
+  }
+  return got;
+}
+
+size_t sdr_rtlsdr_available(SdrRtlUsbSource* s) {
+  return s->ring.readAvailable() / 2;
+}
+uint64_t sdr_rtlsdr_dropped(SdrRtlUsbSource* s) { return s->dropped.load(); }
+int sdr_rtlsdr_eof(SdrRtlUsbSource* s) {
+  return s->eof.load() && s->ring.readAvailable() < 2;
+}
+
+void sdr_rtlsdr_close(SdrRtlUsbSource* s) {
+  sdr_rtlsdr_stop(s);
+  if (s->dev) s->api.close(s->dev);
+  if (s->api.dl) dlclose(s->api.dl);
+  delete s;
+}
+
+}  // extern "C"

@@ -45,14 +45,15 @@ def test_two_process_distributed_matches_single():
     with socket.socket() as s:                   # free coordinator port
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    worker = pathlib.Path(__file__).parent / "multihost_worker.py"
+    worker = (pathlib.Path(__file__).parents[1] / "sdrjfm_tpu" / "parallel"
+              / "multihost_worker.py")
     outs = []
     procs = []
     tmp = tempfile.mkdtemp()
     env = {k: v for k, v in __import__("os").environ.items()
            if k not in ("XLA_FLAGS",)}
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = str(worker.parents[1])
+    env["PYTHONPATH"] = str(worker.parents[2])
     for pid in range(2):
         out = f"{tmp}/proc{pid}.json"
         outs.append(out)
