@@ -288,6 +288,13 @@ def _rtltcp_hostport(url: str):
     return host, int(port or 1234)
 
 
+def _rtlsdr_index(spec: str) -> int:
+    """'rtlsdr' / 'rtlsdr:1' / 'rtlsdr://1' -> dongle index (default 0)."""
+    _, _, idx = spec.partition(":")
+    idx = idx.lstrip("/")
+    return int(idx) if idx else 0
+
+
 def _lf_row(block, rate: int, zoom: int):
     """One LF-scope waterfall row (dB) + its kHz axis from one block's tap
     (shared by the offline spectra writer and the live follow-mode one)."""
@@ -428,11 +435,16 @@ def cmd_rx(args) -> int:
     iq_fmt = args.iq_format
     iq = None
     is_rtltcp = args.iq.startswith(("rtl_tcp://", "rtltcp://"))
-    is_pipe = args.iq == "-" or _is_fifo(args.iq)
-    if (args.gain is not None or args.agc or args.ppm is not None
-            or args.reconnect_timeout) and not is_rtltcp:
-        print("--gain/--agc/--ppm/--reconnect-timeout control an rtl_tcp "
-              "device; pass --iq rtl_tcp://host:port", file=sys.stderr)
+    is_rtlsdr = args.iq == "rtlsdr" or args.iq.startswith("rtlsdr:")
+    is_pipe = (not is_rtlsdr and (args.iq == "-" or _is_fifo(args.iq)))
+    if (args.gain is not None or args.agc or args.ppm is not None) \
+            and not (is_rtltcp or is_rtlsdr):
+        print("--gain/--agc/--ppm control a hardware device; pass --iq "
+              "rtl_tcp://host:port or --iq rtlsdr[:index]", file=sys.stderr)
+        return 2
+    if args.reconnect_timeout and not is_rtltcp:
+        print("--reconnect-timeout controls an rtl_tcp device; pass --iq "
+              "rtl_tcp://host:port", file=sys.stderr)
         return 2
     # input probing/loading runs under the reference's device-load
     # contract (radio.cpp:758-831: every handler constructor throws, the
@@ -440,9 +452,11 @@ def cmd_rx(args) -> int:
     # a missing/unreadable/corrupt capture is a clean message + exit 2,
     # not a traceback
     try:
-        is_wav = False if (is_rtltcp or is_pipe) else is_riff(args.iq)
-        if is_rtltcp:
-            # live network SDR: u8 stream over the ring (streaming only)
+        is_wav = (False if (is_rtltcp or is_pipe or is_rtlsdr)
+                  else is_riff(args.iq))
+        if is_rtltcp or is_rtlsdr:
+            # live SDR hardware (network rtl_tcp or in-process dlopen
+            # dongle): u8 stream over the ring (streaming only)
             args.follow = True
             iq_fmt, rate = "u8", C.INPUT_RATE
         elif is_pipe:
@@ -700,12 +714,19 @@ def cmd_rx(args) -> int:
                 # reference's device-load contract turns that into a
                 # warning, not a crash (radio.cpp:758-831)
                 try:
-                    if is_rtltcp:
-                        host, port = _rtltcp_hostport(args.iq)
-                        src = RtlTcpSource(
-                            host, port, rate=C.INPUT_RATE,
-                            reconnect_timeout_ms=int(args.reconnect_timeout
-                                                     * 1000))
+                    if is_rtltcp or is_rtlsdr:
+                        if is_rtltcp:
+                            host, port = _rtltcp_hostport(args.iq)
+                            src = RtlTcpSource(
+                                host, port, rate=C.INPUT_RATE,
+                                reconnect_timeout_ms=int(
+                                    args.reconnect_timeout * 1000))
+                        else:
+                            from .runtime.native_source import \
+                                RtlSdrUsbSource
+                            src = RtlSdrUsbSource(
+                                device_index=_rtlsdr_index(args.iq),
+                                rate=C.INPUT_RATE)
                         # settings in the rtlsdr-handler's order: ppm, gain
                         # mode/gain, AGC, then the frequency
                         # (rtlsdr-handler.cpp:102-116)

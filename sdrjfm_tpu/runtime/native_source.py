@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_rtltcp_open2          # newest ABI symbol; probes staleness
+        lib.sdr_rtlsdr_open           # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_rtltcp_open2) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_rtlsdr_open) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -138,6 +138,36 @@ def load_library(build: bool = True):
     lib.sdr_rtltcp_dropped.argtypes = [ctypes.c_void_p]
     lib.sdr_rtltcp_eof.restype = ctypes.c_int
     lib.sdr_rtltcp_eof.argtypes = [ctypes.c_void_p]
+    # in-process dlopen(librtlsdr) device
+    lib.sdr_rtlsdr_last_error.restype = ctypes.c_char_p
+    lib.sdr_rtlsdr_open.restype = ctypes.c_void_p
+    lib.sdr_rtlsdr_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
+                                    ctypes.c_size_t, ctypes.c_uint32]
+    lib.sdr_rtlsdr_rate.restype = ctypes.c_uint32
+    lib.sdr_rtlsdr_rate.argtypes = [ctypes.c_void_p]
+    for f in ("set_freq", "set_gain_mode", "set_gain", "set_agc",
+              "set_ppm"):
+        fn = getattr(lib, f"sdr_rtlsdr_{f}")
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_uint32
+                       if f == "set_freq" else ctypes.c_int]
+    lib.sdr_rtlsdr_get_freq.restype = ctypes.c_uint32
+    lib.sdr_rtlsdr_get_freq.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_rtlsdr_flush.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_rtlsdr_read_blocking.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_uint8),
+                                             ctypes.c_size_t, ctypes.c_long]
+    lib.sdr_rtlsdr_available.restype = ctypes.c_size_t
+    lib.sdr_rtlsdr_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_dropped.restype = ctypes.c_uint64
+    lib.sdr_rtlsdr_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_rtlsdr_eof.restype = ctypes.c_int
+    lib.sdr_rtlsdr_eof.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -322,6 +352,116 @@ class RtlTcpSource:
     def close(self):
         if self._h:
             self._lib.sdr_rtltcp_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RtlSdrUsbSource:
+    """In-process RTL-SDR dongle via dlopen(librtlsdr) — the reference's
+    rtlsdr-handler (devices/rtlsdr-handler/rtlsdr-handler.cpp): the vendor
+    library is loaded at runtime (:102-116, absence degrades to a clean
+    "loading device failed"), acquisition is librtlsdr's async-callback
+    thread feeding the native u8 SPSC ring, and the u8->float conversion
+    (:285-294) runs on-device via ReceiverConfig.iq_format='u8'.
+
+    `libname` overrides the library path (tests drive the full path with
+    an in-tree fake librtlsdr; the SDRJFM_LIBRTLSDR env var does the same
+    for the CLI).  Same control surface as RtlTcpSource, so the runtime
+    control channel's gain/agc/ppm/retune commands apply unchanged.
+    """
+
+    fmt = "u8"
+
+    def __init__(self, device_index: int = 0, rate: int = 2_304_000,
+                 ring_frames: int = 1 << 22, libname: str = None):
+        self._lib = load_library()
+        if libname is None:
+            libname = os.environ.get("SDRJFM_LIBRTLSDR")
+        self._h = self._lib.sdr_rtlsdr_open(
+            libname.encode() if libname else None, int(device_index),
+            ring_frames, int(rate))
+        if not self._h:
+            err = self._lib.sdr_rtlsdr_last_error().decode()
+            raise IOError(f"rtlsdr device {device_index}: {err}")
+        self._rate = int(rate)
+
+    @property
+    def rate(self) -> int:
+        return self._rate
+
+    # -- control surface (the reference handler's setters + the runtime
+    # control channel's gain/agc/ppm contract) --------------------------
+    def _ck(self, rc: int, what: str) -> None:
+        if rc != 0:
+            raise IOError(f"rtlsdr {what} failed ({rc})")
+
+    def set_frequency(self, hz: int) -> None:
+        self._ck(self._lib.sdr_rtlsdr_set_freq(self._h, int(hz)),
+                 "set_center_freq")
+
+    def get_frequency(self) -> int:
+        return int(self._lib.sdr_rtlsdr_get_freq(self._h))
+
+    def set_gain_mode(self, manual: bool) -> None:
+        self._ck(self._lib.sdr_rtlsdr_set_gain_mode(
+            self._h, 1 if manual else 0), "set_tuner_gain_mode")
+
+    def set_gain(self, tenths_db: int) -> None:
+        self._ck(self._lib.sdr_rtlsdr_set_gain(self._h, int(tenths_db)),
+                 "set_tuner_gain")
+
+    def set_agc(self, on: bool) -> None:
+        self._ck(self._lib.sdr_rtlsdr_set_agc(self._h, 1 if on else 0),
+                 "set_agc_mode")
+
+    def set_freq_correction(self, ppm: int) -> None:
+        self._ck(self._lib.sdr_rtlsdr_set_ppm(self._h, int(ppm)),
+                 "set_freq_correction")
+
+    def flush(self) -> None:
+        """resetBuffer (device-handler.h:75): discard pre-retune frames."""
+        self._lib.sdr_rtlsdr_flush(self._h)
+
+    # -- streaming surface (Source protocol) -----------------------------
+    def start(self):
+        self._lib.sdr_rtlsdr_start(self._h)
+
+    def pause(self, on: bool) -> None:
+        """stopReader semantics: the dongle keeps streaming, the paused-
+        over samples count as drops."""
+        self._lib.sdr_rtlsdr_pause(self._h, 1 if on else 0)
+
+    def stop(self):
+        self._lib.sdr_rtlsdr_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_rtlsdr_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_rtlsdr_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_rtlsdr_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] uint8 (iq_format='u8' layout)."""
+        buf = np.empty(n_frames * 2, dtype=np.uint8)
+        got = self._lib.sdr_rtlsdr_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * 2].reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_rtlsdr_close(self._h)
             self._h = None
 
     def __enter__(self):
