@@ -299,7 +299,15 @@ class Receiver:
         self.rds_delay = (rds_taps - 1) // 2
         self.k_rds_decim = design.lowpass_sinc(
             C.RDS_DECIM_TAPS, cfg.rds_rate / 2, fs_fm).astype(np.float32)
-        self.bitrec_cfg = make_bitrecovery_config(cfg.rds_rate)
+        # small blocks shrink the carrier-phase sub-block with them (down
+        # to the 512 floor), lowering the live-latency floor from
+        # block_fm=16384 (85 ms accumulation) to 4096 (~21 ms); the
+        # per-sample scan decoders have no grid and keep the default
+        from ..rds.bitrecovery import PHASE_SUB
+        self.bitrec_cfg = make_bitrecovery_config(
+            cfg.rds_rate,
+            phase_sub=(min(PHASE_SUB, cfg.block_rds)
+                       if cfg.rds == "block" else PHASE_SUB))
         if cfg.rds.startswith("scan"):
             from ..rds import scan_decoders as SD
             self._sd = SD
@@ -353,7 +361,14 @@ class Receiver:
         assert cfg.block_fm % cfg.fm_hop == 0
         assert cfg.block_fm % self.pss_cfg.subblock == 0
         assert cfg.block_in % cfg.input_hop == 0
-        assert cfg.block_rds % 2048 == 0
+        if cfg.rds == "block":
+            # the bit grid's phase sub-block must tile the RDS block; the
+            # 512 floor (bitrecovery.PHASE_SUB_MIN) admits block_fm=4096
+            assert cfg.block_rds % self.bitrec_cfg.phase_sub == 0, \
+                (cfg.block_rds, self.bitrec_cfg.phase_sub)
+        elif cfg.rds.startswith("scan"):
+            # per-sample decoders have no grid; any positive block works
+            assert cfg.block_rds > 0
 
     # ------------------------------------------------------------------
     def initial_controls(self) -> Controls:

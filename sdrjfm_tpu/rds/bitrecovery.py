@@ -40,18 +40,29 @@ Array = jax.Array
 SPS_NUM = 384                 # samples per bit = 384/19 at 24 kHz
 SPS_DEN = 19
 SPS = SPS_NUM / SPS_DEN
-PHASE_SUB = 2048              # carrier-phase estimation sub-block (~101 bits)
+PHASE_SUB = 2048              # default carrier-phase sub-block (~101 bits)
+PHASE_SUB_MIN = 512           # low-latency floor (~25 bits; squared-BPSK
+                              # phase over 25 bits is still well-averaged)
 TIMING_GRID = 64              # fractional-offset candidates over one bit
 
 
 class BitRecoveryConfig(NamedTuple):
     mf_taps: np.ndarray       # [45] float32 RRC matched filter
     rate: int
+    phase_sub: int = PHASE_SUB
 
 
-def make_bitrecovery_config(rate: int = C.RDS_RATE) -> BitRecoveryConfig:
+def make_bitrecovery_config(rate: int = C.RDS_RATE,
+                            phase_sub: int = PHASE_SUB) -> BitRecoveryConfig:
+    """phase_sub: carrier-phase estimation sub-block.  2048 (~101 bits) by
+    default; small-block (low-latency) receivers shrink it to their
+    block_rds, floor 512 — the reference's engine granularity is 16384
+    input samples ~= 7 ms (fm-processor.cpp:388), and a 512-sample RDS
+    grid admits block_fm=4096 ~= 21 ms of accumulation."""
+    assert phase_sub >= PHASE_SUB_MIN and phase_sub % 2 == 0, phase_sub
     taps = design.root_raised_cosine(1.0, rate, 2 * C.RDS_BITCLK_HZ, 1.0, 45)
-    return BitRecoveryConfig(mf_taps=taps.astype(np.float32), rate=rate)
+    return BitRecoveryConfig(mf_taps=taps.astype(np.float32), rate=rate,
+                             phase_sub=phase_sub)
 
 
 class BitRecoveryState(NamedTuple):
@@ -98,14 +109,15 @@ def recover_bits(z: Array, cfg: BitRecoveryConfig,
     magCplx driving the ELfPlot::RDS_DEMOD scope tap
     (fm-processor.cpp:554-573, fm-processor.h:84-86)."""
     T = z.shape[0]
-    assert T % PHASE_SUB == 0
+    phase_sub = cfg.phase_sub
+    assert T % phase_sub == 0, (T, phase_sub)
     taps = jnp.asarray(cfg.mf_taps)
     y, mf_carry = fir_apply(z, taps, state.mf_carry)
 
     # --- carrier phase: squared-BPSK estimate per sub-block, continuity-
     # unwrapped against the carried estimate ----------------------------------
-    nsub = T // PHASE_SUB
-    y2 = (y * y).reshape(nsub, PHASE_SUB)
+    nsub = T // phase_sub
+    y2 = (y * y).reshape(nsub, phase_sub)
     raw = 0.5 * jnp.angle(jnp.mean(y2, axis=1))          # psi mod pi
 
     def unwrap(prev, r):
@@ -114,7 +126,7 @@ def recover_bits(z: Array, cfg: BitRecoveryConfig,
         return psi, psi
 
     psi_last, psi_seq = jax.lax.scan(unwrap, state.psi, raw)
-    psi_full = jnp.repeat(psi_seq, PHASE_SUB)
+    psi_full = jnp.repeat(psi_seq, phase_sub)
     yr = y * jax.lax.complex(jnp.cos(psi_full), -jnp.sin(psi_full))
 
     # --- bit timing: energy over candidate fractional offsets ---------------
@@ -126,11 +138,16 @@ def recover_bits(z: Array, cfg: BitRecoveryConfig,
     e = jnp.abs(_interp_linear(yr, pos)) ** 2
     energy = jnp.sum(e, axis=1)
     tau_best = offs[jnp.argmax(energy)]
-    # acquisition: first block snaps to the estimate; afterwards the carried
-    # timing only slews by one grid step per block (clock-drift tracking)
+    # acquisition: first block snaps to the estimate; afterwards the
+    # carried timing slews toward the per-block estimate at a rate that is
+    # constant per BIT (not per block): a 25-bit low-latency block has a
+    # noisy estimate, so it gets a proportionally tighter clamp — the same
+    # drift-tracking bandwidth per second at every block size (validated
+    # to track the independent-capture oracle's ~80 ppm clock offset with
+    # zero CRC errors at block_rds 512..16384)
     dt = tau_best - jnp.mod(state.tau, SPS)
     dt = dt - SPS * jnp.round(dt / SPS)                  # wrap to ±SPS/2
-    max_step = SPS / TIMING_GRID
+    max_step = (SPS / TIMING_GRID) * (nbits_probe / 190.0)
     # continue the carried bit grid (state.tau is the next bit's position
     # relative to this block's start), slewing by at most one grid step
     tracked = state.tau + jnp.clip(dt, -max_step, max_step)
