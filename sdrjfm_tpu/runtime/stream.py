@@ -461,13 +461,21 @@ def run_live(rx: Receiver, source,
     # (When the chain lags the pacing, the pre-read returns from backlog
     # and this understates the true signal age — drops surface that case.)
     t_ready = time.perf_counter()
-    while len(blk_np) == T and (max_blocks is None or b < max_blocks):
-        state, out = step(state, controls,
-                          jax.device_put(jnp.asarray(blk_np, wire)))
+    blk_dev = (jax.device_put(jnp.asarray(blk_np, wire))
+               if len(blk_np) == T else None)
+    while blk_dev is not None and (max_blocks is None or b < max_blocks):
+        state, out = step(state, controls, blk_dev)
         _prefetch_outputs(out)       # D2H overlaps the ring wait below
-        # pre-read the next block from the ring while the device computes
+        # pre-read the next block from the ring while the device computes,
+        # and stage it onto the device IMMEDIATELY (double buffering):
+        # device_put is async, so block k+1's H2D rides along while block
+        # k's outputs drain — on the tunnel each transfer has a large
+        # fixed cost and hiding the H2D behind the D2H wait is most of the
+        # sustained-throughput story (r3 verdict Next #7)
         blk_np = source.read_block(T, timeout_ms)
         t_next_ready = time.perf_counter()
+        blk_dev = (jax.device_put(jnp.asarray(blk_np, wire))
+                   if len(blk_np) == T else None)
         frames = np.asarray(out.audio_i16 if out.audio_i16 is not None
                             else out.audio)
         drops_total = source.dropped

@@ -69,7 +69,9 @@ class TestNativeSource:
             got = src.read_block(C.INPUT_RATE // 10, timeout_ms=3000)
             dt = time.time() - t0
         assert len(got) == C.INPUT_RATE // 10
-        assert 0.05 < dt < 0.4, dt      # ~0.1 s of signal takes ~0.1 s
+        # ~0.1 s of signal takes ~0.1 s; the upper bound is generous so a
+        # loaded CI host's scheduling jitter cannot flake it
+        assert 0.05 < dt < 1.0, dt
 
     def test_feeds_receiver(self, iq_wav):
         import jax
