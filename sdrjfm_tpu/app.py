@@ -44,6 +44,14 @@ def _build_rx_parser(sub):
     p.add_argument("--tune-hz", type=int,
                    help="with an rtl_tcp source: tune the device to this "
                         "center frequency")
+    p.add_argument("--input-rate", type=int, default=0,
+                   help="device-native sample rate of a raw/pipe capture "
+                        "(e.g. 2500000 airspy, 8000000 hackrf); inserts "
+                        "the device zoo's linear-interpolation conversion "
+                        "to 2.304 MS/s on-device (airspy-handler.cpp:"
+                        "118-127 mapTable; needs a block_fm whose "
+                        "block_in*ratio is integral — 12288*k covers the "
+                        "common rates)")
     p.add_argument("--iq-format", default="auto",
                    choices=["auto", "c64", "i16", "u8"],
                    help="wire format fed to the device: i16/u8 keep integer "
@@ -550,6 +558,8 @@ def cmd_rx(args) -> int:
         rds=args.rds_decoder if args.rds else "off",
         audio_rate=192000 if args.audio_192k else C.WORKING_RATE,
         frontend=args.frontend, emit_taps=want_taps,
+        native_rate=(args.input_rate
+                     if args.input_rate not in (0, C.INPUT_RATE) else 0),
         # follow-mode --spectra takes its HF spectrum from the input tap
         # (there is no in-memory capture to transform)
         emit_input_tap=bool(args.dump_input or args.taps
@@ -581,6 +591,10 @@ def cmd_rx(args) -> int:
         if args.squelch != "nsq":
             print("--squelch-level auto requires --squelch nsq (the profile "
                   "measures the noise-squelch band ratio)", file=sys.stderr)
+            return 2
+        if cfg.native_rate:
+            print("--squelch-level auto profiles at 2.304 MS/s; pass an "
+                  "explicit level with --input-rate", file=sys.stderr)
             return 2
         # profile the first block host-side (scipy demod — no second TPU
         # compile) and pick the slider level from the band-energy ratio
@@ -766,15 +780,15 @@ def cmd_rx(args) -> int:
                     return 2
                 max_blocks = None
                 if args.loop_seconds:
-                    max_blocks = max(1, int(args.loop_seconds * C.INPUT_RATE)
-                                     // cfg.block_in)
+                    max_blocks = max(1, int(args.loop_seconds
+                                            * cfg.wire_rate) // cfg.wire_len)
                 # compile the step BEFORE the producer starts: a paced or
                 # live source would overrun its ring during the first
                 # dispatch's trace+compile (seconds) and drop the head of
                 # the stream
                 from .runtime.stream import _jit_init_state, _wire_dtype
-                _z_shape = ((cfg.block_in,) if cfg.iq_format == "c64"
-                            else (cfg.block_in, 2))
+                _z_shape = ((cfg.wire_len,) if cfg.iq_format == "c64"
+                            else (cfg.wire_len, 2))
                 rx.jit_step()(_jit_init_state(rx), controls,
                               jnp.zeros(_z_shape, _wire_dtype(cfg)))
                 src.start()
@@ -842,8 +856,8 @@ def cmd_rx(args) -> int:
     if args.profile:
         print(f"wrote profiler trace to {args.profile}", file=sys.stderr)
     n_in = (len(res.meta) if args.follow
-            else len(iq) // cfg.block_in) * cfg.block_in
-    rt = n_in / C.INPUT_RATE / dt if dt > 0 else float("inf")
+            else len(iq) // cfg.wire_len) * cfg.wire_len
+    rt = n_in / cfg.wire_rate / dt if dt > 0 else float("inf")
     print(f"processed {n_in} IQ samples in {dt:.2f}s ({rt:.1f}x real-time)",
           file=sys.stderr)
     if args.follow:
@@ -912,7 +926,7 @@ def cmd_rx(args) -> int:
     if args.spectra and not args.follow:
         from .models import scopes
         import jax.numpy as jnp
-        iq_c = iq[: cfg.block_in]
+        iq_c = iq[: cfg.wire_len]
         if iq_fmt == "i16":
             iq_c = ((iq_c[:, 0] + 1j * iq_c[:, 1]) / 32768.0
                     ).astype(np.complex64)

@@ -58,6 +58,13 @@ class ReceiverConfig:
     working_rate: int = C.WORKING_RATE
     audio_rate: int = C.WORKING_RATE  # 192000 with the reference's -m flag
     rds_rate: int = C.RDS_RATE
+    # device-native capture rate: 0 = the wire already runs at input_rate.
+    # Non-zero (e.g. 2_500_000 for airspy, 10_000_000 for hackrf) inserts
+    # the reference device zoo's linear-interpolation rate conversion
+    # (airspy-handler.cpp:118-127 mapTable; same scheme in the hackrf and
+    # lime handlers) on-device, right after the wire-format conversion —
+    # so captures from any SDR front end feed the 2.304 MS/s chain.
+    native_rate: int = 0
     # block geometry: fm-rate samples per block (everything else derives)
     block_fm: int = 131072
     # algorithm selections (fm-demodulator.cpp nameTable)
@@ -115,6 +122,32 @@ class ReceiverConfig:
     @property
     def block_in(self) -> int:
         return self.block_fm * (self.input_rate // self.fm_rate)
+
+    @property
+    def rate_ratio(self):
+        """(num, den): reduced native_rate / input_rate."""
+        import math
+        g = math.gcd(self.native_rate, self.input_rate)
+        return self.native_rate // g, self.input_rate // g
+
+    @property
+    def wire_len(self) -> int:
+        """Samples per block as fed to step() — block_in at input_rate, or
+        the native-rate length when a rate adapter is configured."""
+        if not self.native_rate:
+            return self.block_in
+        num, den = self.rate_ratio
+        assert self.block_in * num % den == 0, (
+            f"native_rate {self.native_rate}: block_in {self.block_in} "
+            f"* {num} must divide by {den} — pick a block_fm whose "
+            f"block_in (block_fm*12) is a multiple of den/gcd; e.g. "
+            f"block_fm=12288*k covers the common SDR rates")
+        return self.block_in * num // den
+
+    @property
+    def wire_rate(self) -> int:
+        """Sample rate of the wire blocks (for real-time accounting)."""
+        return self.native_rate or self.input_rate
 
     @property
     def block_working(self) -> int:
@@ -237,6 +270,11 @@ class ReceiverState(NamedTuple):
     ramp_remaining: Array
     audio_up: Optional[Array]
     tone_index: Array         # global output index mod the tone period
+    rate_carry: Optional[Array] = None  # native-rate adapter's previous
+                                        # last sample (convBuffer[0]
+                                        # hand-over, airspy-handler.cpp:
+                                        # 299-303); None when native_rate
+                                        # is off
 
 
 class Receiver:
@@ -358,6 +396,8 @@ class Receiver:
 
     def _validate(self):
         cfg = self.cfg
+        if cfg.native_rate:
+            cfg.wire_len          # asserts the divisibility contract
         assert cfg.block_fm % cfg.fm_hop == 0
         assert cfg.block_fm % self.pss_cfg.subblock == 0
         assert cfg.block_in % cfg.input_hop == 0
@@ -426,6 +466,8 @@ class Receiver:
                 // (cfg.audio_rate // cfg.working_rate))
                 if self.k_audio_up is not None else None),
             tone_index=jnp.asarray(0, jnp.int32),
+            rate_carry=(jnp.asarray(0.0 + 0.0j, cplx)
+                        if cfg.native_rate else None),
         )
 
     def _bitrec_zero_state(self):
@@ -521,6 +563,17 @@ class Receiver:
         x = jax.lax.complex(re * controls.input_lgain,
                             im * controls.input_rgain)
 
+        # --- native-rate adaptation (the device zoo's mapTable linear
+        # conversion, airspy-handler.cpp:118-127/281-305) ---------------------
+        rate_carry = state.rate_carry
+        if cfg.native_rate:
+            assert shard_axis is None, \
+                "rate adaptation is host-ingest-side; shard the adapted " \
+                "2.304 MS/s stream, not the native wire"
+            num, den = cfg.rate_ratio
+            x, rate_carry = B.rate_map_linear(x, num, den, cfg.block_in,
+                                              state.rate_carry)
+
         # --- DC servo (fm-processor.cpp:423-446).  Redesigned block-level:
         # the tracker's time constant is 1 s (alpha = 1/inputRate), so the
         # correction is held constant within a block and the estimate is
@@ -580,23 +633,24 @@ class Receiver:
                   else left_halo(x, state.band1, shard_axis))
             v, tail1 = B.fir_decimate(x, jnp.asarray(self.k_decim12), 12, c1)
             tail2 = state.band2
-        return v, (dc_last, input_tail, tail1, tail2, input_tap)
+        return v, (dc_last, input_tail, tail1, tail2, input_tap, rate_carry)
 
     # ------------------------------------------------------------------
     def step(self, state: ReceiverState, controls: Controls,
              iq: Array) -> Tuple[ReceiverState, Output]:
         cfg = self.cfg
-        T_in = cfg.block_in
+        T_in = cfg.wire_len
         want = (T_in,) if cfg.iq_format == "c64" else (T_in, 2)
         assert iq.shape == want, (iq.shape, want)
 
-        v, (dc_last, input_tail, tail1, tail2, input_tap) = self.front_end(
-            state, controls, iq)
-        n0_mod = (state.n0_mod + T_in) % cfg.input_rate
+        v, (dc_last, input_tail, tail1, tail2, input_tap, rate_carry) = \
+            self.front_end(state, controls, iq)
+        n0_mod = (state.n0_mod + cfg.block_in) % cfg.input_rate
         fe_updates = dict(
             n0_mod=n0_mod, rf_dc=dc_last,
             input_filt=input_tail if cfg.input_filter else None,
-            band1=tail1, band2=tail2, input_tap=input_tap)
+            band1=tail1, band2=tail2, input_tap=input_tap,
+            rate_carry=rate_carry)
         return self.fm_chain(state, controls, v, fe_updates)
 
     # ------------------------------------------------------------------
@@ -955,7 +1009,8 @@ class Receiver:
             rds_decim=rds_decim_c, bitrec=bitrec_state,
             audio_filt=audio_filt, deemph=deemph_last,
             audio_decim=audio_decim, ramp_remaining=ramp_remaining,
-            audio_up=audio_up_state, tone_index=tone_index)
+            audio_up=audio_up_state, tone_index=tone_index,
+            rate_carry=fe_updates.get("rate_carry"))
 
         audio = jnp.stack([jnp.real(pcm), jnp.imag(pcm)], axis=-1)
         count = (rds_out.count if rds_out is not None

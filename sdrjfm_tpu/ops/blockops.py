@@ -468,3 +468,36 @@ def mix_lo(x: Array, freq_hz, rate: int, n0_mod) -> Array:
 def wrap_pi(x: Array) -> Array:
     """Wrap angles to (-pi, pi] (the PI_Constrain equivalent)."""
     return x - 2.0 * jnp.pi * jnp.round(x / (2.0 * jnp.pi))
+
+
+def rate_map_linear(x: Array, num: int, den: int, n_out: int,
+                    carry: Array) -> Tuple[Array, Array]:
+    """Linear-interpolation rate conversion: n_out outputs spanning
+    n_out*num/den inputs (must be integral — validated by the caller).
+
+    The block equivalent of the reference's device-side mapTable
+    converters (airspy-handler.cpp:118-127 builds mapTable_int/_float for
+    inputRate -> 2304 samples/ms; the identical scheme appears in the
+    hackrf and lime handlers): out[j] lerps between input samples at the
+    exact rational position j*num/den.  Positions use integer arithmetic
+    (no fp phase accumulation — drift-free for unbounded streams, like
+    `oscillator_phases`), and `carry` is the previous block's last input
+    sample (the reference's convBuffer[0] hand-over,
+    airspy-handler.cpp:299-303), so consecutive blocks stitch exactly.
+
+    x     : [T_in] input block (any dtype; complex64 in the ingest path)
+    carry : scalar, same dtype — input sample x[-1] of the previous block
+    returns (out [n_out], new carry = x[-1])
+    """
+    T_in = x.shape[0]
+    assert n_out * num == T_in * den, (n_out, num, T_in, den)
+    assert n_out * num < 2 ** 31          # int32 position arithmetic
+    j = jnp.arange(n_out)
+    pos_num = j * num                        # exact: j*num < n_out*num
+    base = pos_num // den                    # in [0, T_in-1]
+    frac = (pos_num - base * den).astype(jnp.float32) / den
+    xx = jnp.concatenate([carry[None], x])   # window spans prev_last..x
+    a = xx[base]
+    b = xx[base + 1]
+    out = a + (b - a) * frac                 # f32*complex promotes
+    return out, x[-1]

@@ -19,9 +19,10 @@ eager complex buffers, and planar f32 is the natural VMEM layout anyway).
 STATUS: semantics validated in interpret mode (tests/test_pallas_frontend.py);
 the Mosaic TPU lowering rejects the kernel's 1-D->2-D vector reshapes
 ("infer-vector-layout: unsupported shape cast").  Re-probed round 3
-(2026-08-20): still blocked — the tunnel's remote tpu_compile_helper exits 1
-(MosaicError, details scrubbed server-side), so non-interpret compilation
-remains unavailable on this runtime.  Engineering analysis of the
+(2026-08-20) and round 4 (2026-08-21): still blocked — the tunnel's remote
+tpu_compile_helper exits 1 (MosaicError, details scrubbed server-side;
+/tmp/pallas_probe logs), so non-interpret compilation remains unavailable
+on this runtime.  Engineering analysis of the
 fix options (kept here so the next perf round doesn't re-derive it):
 
   * phase-major layout [12, T/12]: makes the polyphase rows lane-aligned and

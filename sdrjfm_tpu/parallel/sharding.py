@@ -91,7 +91,7 @@ class FullyShardedReceiver:
         def body(state, controls, iq_local):
             # defer_dc: the DC-servo gather folds into fm_chain's fused
             # end-of-chain collective (dc carries the local subsample)
-            v_local, (dc, in_tail, t1, t2, _) = rx.front_end(
+            v_local, (dc, in_tail, t1, t2, _, _) = rx.front_end(
                 state, controls, iq_local, shard_axis=axis, defer_dc=True)
             tails = tuple(t[None] if t is not None else None
                           for t in (in_tail, t1, t2))
@@ -157,7 +157,7 @@ class ShardedReceiver:
                   else {"check_rep": False})
 
         def front(state, controls, iq_local):
-            v_local, (dc, in_tail, t1, t2, _) = rx.front_end(
+            v_local, (dc, in_tail, t1, t2, _, _) = rx.front_end(
                 state, controls, iq_local, shard_axis=axis)
             tails = tuple(t[None] if t is not None else None
                           for t in (in_tail, t1, t2))

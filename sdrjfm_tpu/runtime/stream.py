@@ -40,7 +40,7 @@ def _wire_dtype(cfg):
 def _stage_blocks(iq: np.ndarray, cfg, nblocks: int):
     """Stack the capture into the step's wire format ([n,T] complex64 or
     [n,T,2] int16/uint8 — see ReceiverConfig.iq_format)."""
-    T = cfg.block_in
+    T = cfg.wire_len
     x = jnp.asarray(iq[: nblocks * T], _wire_dtype(cfg))
     if cfg.iq_format == "c64":
         return x.reshape(nblocks, T)
@@ -72,7 +72,7 @@ def run_offline_scan(rx: Receiver, iq: np.ndarray,
 
     cfg = rx.cfg
     controls = controls if controls is not None else rx.initial_controls()
-    T = cfg.block_in
+    T = cfg.wire_len
     nblocks = len(iq) // T
     assert nblocks > 0
     blocks = _stage_blocks(iq, cfg, nblocks)
@@ -107,7 +107,7 @@ def run_offline_scanned(rx: Receiver, iq: np.ndarray,
     (the scan body is the same program; only the leading axis is split).
     """
     if chunk_blocks is not None:
-        T = rx.cfg.block_in
+        T = rx.cfg.wire_len
         total = (len(iq) // T) * T
         state = init_state
         parts = []
@@ -246,7 +246,7 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                                       collect_meta, chunk_blocks)
     cfg = rx.cfg
     controls = controls if controls is not None else rx.initial_controls()
-    T = cfg.block_in
+    T = cfg.wire_len
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     step = rx.jit_step()
@@ -333,7 +333,7 @@ def _run_streaming_chunked(rx: Receiver, iq: np.ndarray, controls,
 
     cfg = rx.cfg
     controls = controls if controls is not None else rx.initial_controls()
-    T = cfg.block_in
+    T = cfg.wire_len
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     wire = _wire_dtype(cfg)
@@ -446,7 +446,7 @@ def run_live(rx: Receiver, source,
     """
     cfg = rx.cfg
     controls = controls if controls is not None else rx.initial_controls()
-    T = cfg.block_in
+    T = cfg.wire_len
     step = rx.jit_step()
     state = init_state if init_state is not None else _jit_init_state(rx)
     wire = _wire_dtype(cfg)
@@ -554,7 +554,7 @@ def run_offline(rx: Receiver, iq: np.ndarray,
     """
     cfg = rx.cfg
     controls = controls if controls is not None else rx.initial_controls()
-    T = cfg.block_in
+    T = cfg.wire_len
     nblocks = len(iq) // T
     assert nblocks > 0, f"need at least {T} samples, got {len(iq)}"
     step = rx.jit_step()

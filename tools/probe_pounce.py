@@ -83,11 +83,11 @@ def main():
                    f"Fresh integrity-passing on-chip bench: "
                    f"{rec.get('value')}x real-time "
                    f"(method {rec.get('method')}, attempt {attempt})")
+            env = dict(os.environ)
+            env["PYTHONPATH"] = f"{ROOT}:/root/.axon_site"
             if not args.skip_multichip:
                 mc = os.path.join(ROOT,
                                   f"MULTICHIP_BENCH_r{args.round:02d}.json")
-                env = dict(os.environ)
-                env["PYTHONPATH"] = f"{ROOT}:/root/.axon_site"
                 try:
                     p = subprocess.run(
                         [sys.executable,
@@ -101,6 +101,30 @@ def main():
                                "Multichip tax bench on a healthy session")
                 except subprocess.TimeoutExpired:
                     print("bench_multichip timed out", flush=True)
+            # sustained (ingest-inclusive) — needs working D2H, which a
+            # healthy probe strongly suggests; r3's artifact is a
+            # runtime-blocked placeholder (BENCH_sustained_r03.json)
+            sus = os.path.join(ROOT, f"BENCH_sustained_r{args.round:02d}"
+                                     ".json")
+            try:
+                p = subprocess.run(
+                    [sys.executable,
+                     os.path.join(ROOT, "tools", "bench_sustained.py")],
+                    capture_output=True, text=True, timeout=2400,
+                    env=env, cwd=ROOT)
+                lines = [ln for ln in p.stdout.splitlines()
+                         if ln.strip().startswith("{")]
+                if lines:
+                    with open(sus, "w") as f:
+                        f.write("\n".join(lines) + "\n")
+                    commit([os.path.basename(sus)],
+                           "Sustained ingest-inclusive bench on a healthy "
+                           "session")
+                else:
+                    print("bench_sustained produced no records:",
+                          (p.stdout + p.stderr)[-1500:], flush=True)
+            except subprocess.TimeoutExpired:
+                print("bench_sustained timed out", flush=True)
             return 0
         if attempt < args.attempts:
             time.sleep(args.sleep)
