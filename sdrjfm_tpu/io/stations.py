@@ -1,10 +1,15 @@
 """Station list persistence (the programList equivalent, C8).
 
 The reference keeps a name+frequency table persisted as XML
-(src/various/program-list.cpp:33-60, ~/.jsdr-programs.xml).  Here it's a JSON
-file with the same data model plus per-station metadata the RDS stack can
-fill in automatically (PI code, PTY) — something the reference's manual list
-cannot do.
+(src/various/program-list.cpp:33-60, ~/.jsdr-programs.xml).  Here the
+native format is JSON with the same data model plus per-station metadata
+the RDS stack can fill in automatically (PI code, PTY) — something the
+reference's manual list cannot do — AND the reference's exact XML schema
+is read/written for migration: a `.xml` path (or XML content) round-trips
+`<fmList><fm-transmitter theName=".." theFrequency="kHz"/></fmList>`
+(program-list.cpp:105-144 saveTable/loadTable; frequencies are kHz there,
+tableSelect applies Khz()), so an existing ~/.jsdr-programs.xml loads
+directly via `--stations`.
 """
 
 from __future__ import annotations
@@ -52,6 +57,8 @@ class StationList:
         return None
 
     def save(self, path: str) -> None:
+        if str(path).lower().endswith(".xml"):
+            return self.save_xml(path)
         Path(path).write_text(json.dumps(
             {"stations": [asdict(s) for s in self.stations]}, indent=2))
 
@@ -60,5 +67,38 @@ class StationList:
         p = Path(path)
         if not p.exists():
             return cls()
-        data = json.loads(p.read_text())
+        text = p.read_text()
+        if (str(path).lower().endswith(".xml")
+                or text.lstrip().startswith("<")):
+            return cls.load_xml(path)
+        data = json.loads(text)
         return cls(stations=[Station(**s) for s in data.get("stations", [])])
+
+    # -- reference XML interop (program-list.cpp:105-144) ----------------
+    def save_xml(self, path: str) -> None:
+        """Write the reference's schema (frequencies in kHz, as its table
+        stores and its loader expects)."""
+        import xml.etree.ElementTree as ET
+        root = ET.Element("fmList")
+        for s in self.stations:
+            ET.SubElement(root, "fm-transmitter",
+                          theName=s.name,
+                          theFrequency=str(int(round(s.frequency_hz
+                                                     / 1000))))
+        Path(path).write_text(
+            ET.tostring(root, encoding="unicode") + "\n")
+
+    @classmethod
+    def load_xml(cls, path: str) -> "StationList":
+        import xml.etree.ElementTree as ET
+        out = cls()
+        root = ET.parse(str(path)).getroot()
+        for el in root.iter("fm-transmitter"):
+            name = el.get("theName", "")
+            freq = el.get("theFrequency", "0")
+            try:
+                khz = int(float(freq))
+            except ValueError:
+                continue                   # a hand-edited junk row
+            out.add(name, khz * 1000)
+        return out
