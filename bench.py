@@ -94,11 +94,34 @@ def _emit(realtime_x, **extra):
     sys.stdout.flush()
 
 
+_IQ_CACHE = {}
+
+
+def _synth_capture(block_in, nblocks):
+    """64 distinct blocks of synthesized stereo+RDS IQ (cached: the host
+    synth over ~100M samples takes minutes and both wire formats share
+    it — only the final integer conversion differs)."""
+    from sdrjfm_tpu import constants as C
+    from sdrjfm_tpu.io import synth
+
+    key = (block_in, nblocks)
+    if key not in _IQ_CACHE:
+        n_fm = block_in // 12 * nblocks
+        t = np.arange(n_fm) / C.FM_RATE
+        left = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+        right = 0.6 * np.sin(2 * np.pi * 440.0 * t)
+        rng = np.random.default_rng(0)
+        bits = (rng.random(30000) > 0.5).astype(np.int8)
+        mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
+        _IQ_CACHE[key] = synth.fm_modulate(mpx, C.FM_RATE)[: block_in
+                                                           * nblocks]
+    return _IQ_CACHE[key]
+
+
 def _make_inputs(fmt):
     """(receiver, state, controls, device blocks) for a wire format."""
     import jax
     import jax.numpy as jnp
-    from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
     from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
 
@@ -111,14 +134,7 @@ def _make_inputs(fmt):
     # realistic input: 64 distinct blocks of synthesized stereo+RDS signal
     # (distinct data so no aliasing/hoisting can flatter the number)
     nblocks = 64
-    n_fm = cfg.block_fm * nblocks
-    t = np.arange(n_fm) / C.FM_RATE
-    left = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
-    right = 0.6 * np.sin(2 * np.pi * 440.0 * t)
-    rng = np.random.default_rng(0)
-    bits = (rng.random(30000) > 0.5).astype(np.int8)
-    mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
-    iq_np = synth.fm_modulate(mpx, C.FM_RATE)[: cfg.block_in * nblocks]
+    iq_np = _synth_capture(cfg.block_in, nblocks)
     wire = synth.iq_to_i16(iq_np) if fmt == "i16" else synth.iq_to_u8(iq_np)
     blocks = jax.device_put(jnp.asarray(wire)
                             .reshape(nblocks, cfg.block_in, 2))

@@ -450,6 +450,10 @@ def cmd_rx(args) -> int:
         print("--gain/--agc/--ppm control a hardware device; pass --iq "
               "rtl_tcp://host:port or --iq rtlsdr[:index]", file=sys.stderr)
         return 2
+    if args.input_rate and (is_rtltcp or is_rtlsdr):
+        print("--input-rate applies to raw/pipe captures; rtl hardware "
+              "streams at 2.304 MS/s already", file=sys.stderr)
+        return 2
     if args.reconnect_timeout and not is_rtltcp:
         print("--reconnect-timeout controls an rtl_tcp device; pass --iq "
               "rtl_tcp://host:port", file=sys.stderr)
@@ -760,14 +764,14 @@ def cmd_rx(args) -> int:
                                 ctl_proc.center_hz = int(args.tune_hz)
                     elif is_pipe:
                         src = NativePipeSource(args.iq, fmt=iq_fmt,
-                                               rate=C.INPUT_RATE)
+                                               rate=cfg.wire_rate)
                     elif iq_fmt == "c64":
                         src = NativeWavSource(args.iq, pace=pace, loop=loop)
                     elif is_wav:
                         src = NativeRawSource(args.iq, pace=pace, loop=loop)
                     else:
                         src = NativeRawSource(args.iq, fmt=iq_fmt,
-                                              rate=C.INPUT_RATE, pace=pace,
+                                              rate=cfg.wire_rate, pace=pace,
                                               loop=loop)
                     if ctl_proc is not None and ctl_proc.source is None:
                         # every live source takes control-plane commands
@@ -935,7 +939,10 @@ def cmd_rx(args) -> int:
                      + 1j * (iq_c[:, 1].astype(np.float32) - 127.0)) / 128.0
                     ).astype(np.complex64)
         hf = np.asarray(scopes.spectrum_db(jnp.asarray(iq_c)))
-        out_npz = {"hf_spectrum_db": hf}
+        # the HF axis spans ±wire_rate/2 — record it so a native-rate
+        # capture's spectrum is not misread as ±1.152 MHz
+        out_npz = {"hf_spectrum_db": hf,
+                   "hf_rate": np.asarray(cfg.wire_rate)}
         if args.lf_plot in res.taps:
             d = res.taps[args.lf_plot]
             lf_rate = (cfg.rds_rate if args.lf_plot.startswith("rds")

@@ -77,7 +77,13 @@ class StationList:
     # -- reference XML interop (program-list.cpp:105-144) ----------------
     def save_xml(self, path: str) -> None:
         """Write the reference's schema (frequencies in kHz, as its table
-        stores and its loader expects)."""
+        stores and its loader expects).
+
+        Lossy BY DESIGN — the reference format carries only name +
+        frequency(kHz): pi_code/pty metadata is dropped and sub-kHz
+        frequency detail rounds away (stations within 1 kHz merge on
+        reload).  Keep the JSON native format for full fidelity; use
+        .xml paths only to exchange lists with the reference receiver."""
         import xml.etree.ElementTree as ET
         root = ET.Element("fmList")
         for s in self.stations:

@@ -147,7 +147,9 @@ def recover_bits(z: Array, cfg: BitRecoveryConfig,
     # zero CRC errors at block_rds 512..16384)
     dt = tau_best - jnp.mod(state.tau, SPS)
     dt = dt - SPS * jnp.round(dt / SPS)                  # wrap to ±SPS/2
-    max_step = (SPS / TIMING_GRID) * (nbits_probe / 190.0)
+    # capped at ONE grid step so large blocks keep the originally
+    # validated clamp — the per-bit scaling only TIGHTENS small blocks
+    max_step = (SPS / TIMING_GRID) * min(1.0, nbits_probe / 190.0)
     # continue the carried bit grid (state.tau is the next bit's position
     # relative to this block's start), slewing by at most one grid step
     tracked = state.tau + jnp.clip(dt, -max_step, max_step)

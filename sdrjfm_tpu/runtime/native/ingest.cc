@@ -878,16 +878,22 @@ bool resolve(void* dl, const char* name, T* out) {
 }
 
 bool load_rtl_api(const char* libname, RtlApi* api) {
-  const char* candidates[] = {libname, "librtlsdr.so", "librtlsdr.so.0",
-                              "librtlsdr.so.2"};
+  // an explicitly requested library must NOT silently fall back to the
+  // system sonames (a typo'd SDRJFM_LIBRTLSDR would open a real dongle
+  // with the wrong library, and tests would touch real hardware)
+  const char* explicit_only[] = {libname};
+  const char* sonames[] = {"librtlsdr.so", "librtlsdr.so.0",
+                           "librtlsdr.so.2"};
+  const char** candidates = libname ? explicit_only : sonames;
+  size_t n_cand = libname ? 1 : sizeof(sonames) / sizeof(sonames[0]);
   void* dl = nullptr;
-  for (const char* c : candidates) {
-    if (!c) continue;
-    dl = dlopen(c, RTLD_NOW | RTLD_LOCAL);
+  for (size_t i = 0; i < n_cand; i++) {
+    dl = dlopen(candidates[i], RTLD_NOW | RTLD_LOCAL);
     if (dl) break;
   }
   if (!dl) {
-    set_rtl_error(dlerror() ? dlerror() : "dlopen(librtlsdr) failed");
+    const char* err = dlerror();   // single call: dlerror() clears state
+    set_rtl_error(err ? err : "dlopen(librtlsdr) failed");
     return false;
   }
   api->dl = dl;
