@@ -1039,14 +1039,21 @@ def cmd_scan(args) -> int:
     from .models.receiver import Receiver, ReceiverConfig
 
     from .io.wavio import is_riff, read_iq_raw
-    if args.iq.startswith(("rtl_tcp://", "rtltcp://")):
+    is_scan_rtlsdr = args.iq == "rtlsdr" or args.iq.startswith("rtlsdr:")
+    if args.iq.startswith(("rtl_tcp://", "rtltcp://")) or is_scan_rtlsdr:
         # full-band hardware sweep: step the dongle across the raster and
-        # decide every channel of each stop in one vmapped dispatch
-        from .runtime.native_source import RtlTcpSource
-        host, port = _rtltcp_hostport(args.iq)
+        # decide every channel of each stop in one vmapped dispatch —
+        # network rtl_tcp or the in-process dlopen dongle, same contract
         rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
         try:
-            src = RtlTcpSource(host, port, rate=C.INPUT_RATE)
+            if is_scan_rtlsdr:
+                from .runtime.native_source import RtlSdrUsbSource
+                src = RtlSdrUsbSource(_rtlsdr_index(args.iq),
+                                      rate=C.INPUT_RATE)
+            else:
+                from .runtime.native_source import RtlTcpSource
+                host, port = _rtltcp_hostport(args.iq)
+                src = RtlTcpSource(host, port, rate=C.INPUT_RATE)
         except (OSError, ValueError) as e:
             print(f"loading device failed: {args.iq}: {e}", file=sys.stderr)
             return 2

@@ -98,8 +98,18 @@ int rtlsdr_read_async(void *dev, rtlsdr_read_async_cb_t cb, void *ctx,
   unsigned char *buf = malloc(buf_len);
   if (!buf) return -1;
   d->cancel = 0;
+  /* two payload modes:
+   *   FAKE_RTLSDR_IQ      — one file, streamed once (EOF ends the stream,
+   *                         like a dongle unplugged at capture end)
+   *   FAKE_RTLSDR_IQ_DIR  — frequency-aware: stream <dir>/<freq>.u8 for
+   *                         the currently tuned centre (switches between
+   *                         chunks, loops at EOF, silence when no file) —
+   *                         lets retune/band-scan paths run end-to-end */
   const char *path = getenv("FAKE_RTLSDR_IQ");
-  FILE *f = path ? fopen(path, "rb") : NULL;
+  const char *dir = getenv("FAKE_RTLSDR_IQ_DIR");
+  FILE *f = (!dir && path) ? fopen(path, "rb") : NULL;
+  uint32_t cur_freq = 0;
+  int have_freq_file = 0;
   /* pace like real hardware: FAKE_RTLSDR_FPS frames/s (default the set
    * sample rate) — an unpaced dump would instantly overrun the consumer
    * ring, which is dongle-unlike */
@@ -107,9 +117,23 @@ int rtlsdr_read_async(void *dev, rtlsdr_read_async_cb_t cb, void *ctx,
   double fps = fps_env ? atof(fps_env) : (double)(d->rate ? d->rate : 2304000);
   while (!d->cancel) {
     size_t got;
+    if (dir && (d->freq != cur_freq || (!f && !have_freq_file))) {
+      if (f) fclose(f);
+      char pathbuf[1024];
+      snprintf(pathbuf, sizeof(pathbuf), "%s/%u.u8", dir, d->freq);
+      f = fopen(pathbuf, "rb");
+      cur_freq = d->freq;
+      have_freq_file = 1;
+    }
     if (f) {
       got = fread(buf, 1, buf_len, f);
-      if (got == 0) break;              /* capture over: stream ends */
+      if (got == 0) {
+        if (dir) {                      /* loop the tuned capture */
+          rewind(f);
+          continue;
+        }
+        break;                          /* capture over: stream ends */
+      }
     } else {
       memset(buf, 127, buf_len);        /* no file: silence (DC) */
       got = buf_len;

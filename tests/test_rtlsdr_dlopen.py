@@ -119,3 +119,64 @@ def test_no_dongle_plugged_in_is_clean_failure(fake_lib, tmp_path, capsys,
     assert rc == 2
     err = capsys.readouterr().err
     assert "loading device failed" in err and "no rtlsdr device" in err
+
+
+def _sweep_centers(cfg, f_start, f_stop, grid):
+    """Replicate scan_band's stop grouping (models/bandscan.py:156-171)
+    so the fake dongle can pre-stage a capture per hardware stop."""
+    window = cfg.input_rate // 2 - cfg.fm_rate
+    half = (window - cfg.fm_rate // 2) // grid * grid
+    span = 2 * half + grid
+    chans = list(range(f_start, f_stop + 1, grid))
+    centers, i = [], 0
+    while i < len(chans):
+        group = [c for c in chans[i:] if c - chans[i] < span]
+        i += len(group)
+        centers.append(group[len(group) // 2])
+    return centers
+
+
+def test_hardware_band_sweep_on_fake_dongle(fake_lib, tmp_path_factory,
+                                            monkeypatch):
+    """`scan --iq rtlsdr:0` steps the dlopen dongle across the raster and
+    finds/identifies a planted station — full parity with the rtl_tcp
+    sweep (test_bandscan.py) on the in-process backend."""
+    from test_bandscan import _station_iq
+    from sdrjfm_tpu.models.bandscan import scan_band
+    from sdrjfm_tpu.models.receiver import Receiver, ReceiverConfig
+    from sdrjfm_tpu.runtime.native_source import RtlSdrUsbSource
+
+    d = tmp_path_factory.mktemp("fakescan")
+    cfg = ReceiverConfig(block_fm=32768, rds="off")
+    planted = {88_400_000: dict(pi=0x4D4D, name="DLSWEEP ")}
+    n_frames = 2_600_000
+    n_fm = -(-n_frames // 12) + 2048
+    rng = np.random.default_rng(1)
+    for center in _sweep_centers(cfg, 88_000_000, 90_000_000, 100_000):
+        iq = 0.02 * (rng.standard_normal(n_fm * 12)
+                     + 1j * rng.standard_normal(n_fm * 12)
+                     ).astype(np.complex64)
+        for f, kw in planted.items():
+            off = f - center
+            if abs(off) <= 1_000_000:
+                iq += _station_iq(n_fm, off, pi=kw["pi"],
+                                  name=kw["name"])[:len(iq)]
+        synth.iq_to_u8(iq[:n_frames]).tofile(d / f"{center}.u8")
+
+    monkeypatch.delenv("FAKE_RTLSDR_IQ", raising=False)
+    monkeypatch.setenv("FAKE_RTLSDR_IQ_DIR", str(d))
+    monkeypatch.setenv("FAKE_RTLSDR_FPS", "6000000")
+    rx = Receiver(cfg)
+    src = RtlSdrUsbSource(0, rate=C.INPUT_RATE, libname=fake_lib)
+    try:
+        src.start()
+        hits = scan_band(rx, src, f_start=88_000_000, f_stop=90_000_000,
+                         grid_hz=100_000, blocks=2, settle_ms=250,
+                         identify_seconds=1.4)
+    finally:
+        src.close()
+    freqs = sorted(h["freq_hz"] for h in hits)
+    assert 88_400_000 in freqs, hits
+    by_freq = {h["freq_hz"]: h for h in hits}
+    assert by_freq[88_400_000]["pi_code"] == "0x4D4D"
+    assert by_freq[88_400_000]["station"] == "DLSWEEP"
