@@ -180,3 +180,101 @@ def test_hardware_band_sweep_on_fake_dongle(fake_lib, tmp_path_factory,
     by_freq = {h["freq_hz"]: h for h in hits}
     assert by_freq[88_400_000]["pi_code"] == "0x4D4D"
     assert by_freq[88_400_000]["station"] == "DLSWEEP"
+
+
+def test_cli_follow_hw_retune_flips_pi(fake_lib, tmp_path_factory,
+                                       monkeypatch):
+    """Live `rx --follow` on the dlopen dongle, retuned over the control
+    socket: the hardware retune (set_center_freq + ring flush) lands on
+    the fake's frequency-aware payloads and the decoded PI flips —
+    the rtl_tcp retune criterion (test_control.py) on the in-process
+    backend."""
+    import json
+    import socket
+    import threading
+    import time as _time
+    from sdrjfm_tpu.app import main
+
+    d = tmp_path_factory.mktemp("fakeretune")
+    f_a, f_b = 94_300_000, 101_700_000
+    for freq, pi, name in ((f_a, 0x1111, "STATIONA"),
+                           (f_b, 0x2222, "STATIONB")):
+        bits = encode.make_bitstream(pi=pi, station=name, repeats=6)
+        n = int(3.0 * C.FM_RATE)
+        t = np.arange(n) / C.FM_RATE
+        mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 700.0 * t),
+                              0.5 * np.sin(2 * np.pi * 300.0 * t),
+                              synth.MPXParams(rds_level=0.08),
+                              rds_bits=encode.differential_encode(bits))
+        synth.iq_to_u8(synth.fm_modulate(mpx, C.FM_RATE)).tofile(
+            d / f"{freq}.u8")
+
+    monkeypatch.setenv("SDRJFM_LIBRTLSDR", fake_lib)
+    monkeypatch.delenv("FAKE_RTLSDR_IQ", raising=False)
+    monkeypatch.setenv("FAKE_RTLSDR_IQ_DIR", str(d))
+    monkeypatch.setenv("FAKE_RTLSDR_FPS", "3500000")
+    ctl = str(tmp_path_factory.mktemp("ctl") / "ctl.sock")
+    rep = str(tmp_path_factory.mktemp("rep") / "rep.json")
+    rc_box = {}
+
+    def run():
+        rc_box["rc"] = main(["rx", "--iq", "rtlsdr:0", "--tune",
+                             str(f_a), "--loop-seconds", "240",
+                             "--block-fm", "32768", "--rds",
+                             "--control", ctl, "--report", rep])
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+
+    def connect(deadline_s=180):
+        deadline = _time.time() + deadline_s
+        while _time.time() < deadline:
+            if os.path.exists(ctl):
+                s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    s.connect(ctl)
+                    s.settimeout(10)
+                    return s
+                except OSError:
+                    s.close()
+            _time.sleep(0.1)
+        raise TimeoutError("control socket never appeared")
+
+    cli = connect()
+    buf = b""
+
+    def cmd(line):
+        nonlocal buf
+        cli.sendall(line.encode() + b"\n")
+        while b"\n" not in buf:
+            buf += cli.recv(4096)
+        out, buf = buf.split(b"\n", 1)
+        return json.loads(out)
+
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            st = cmd("status")
+            if st.get("rds", {}).get("pi_code") == "0x1111":
+                break
+            _time.sleep(0.25)
+        else:
+            raise AssertionError(f"station A never decoded: {st}")
+        r = cmd(f"tune {f_b}")
+        assert r.get("hw_frequency_hz") == f_b or r.get("retune_reset"), r
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            st = cmd("status")
+            if st.get("rds", {}).get("pi_code") == "0x2222":
+                break
+            _time.sleep(0.25)
+        else:
+            raise AssertionError(f"station B never decoded: {st}")
+        cmd("quit")
+    finally:
+        cli.close()
+        th.join(90)
+
+    assert rc_box.get("rc") == 0
+    report = json.load(open(rep))
+    assert report["rds"]["pi_code"] == "0x2222"
