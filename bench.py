@@ -270,11 +270,12 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
               ratio, why),
         daemon=True)
     worker.start()
-    # 1500 s default: a healthy-D2H-but-broken-clock session was observed
+    # 900 s default: a healthy-D2H-but-broken-clock session was observed
     # (2026-08-21) to need >600 s just to compile the slope program over
-    # the remote tunnel — a watchdog that fires during compile wastes the
-    # session's working transfers
-    worker.join(float(os.environ.get("BENCH_FORCED_BUDGET_S", "1500")))
+    # the remote tunnel, so r3's 600 s fired mid-compile; but the budget
+    # must stay well under any external driver timeout — an externally
+    # killed bench prints NO record at all, the worst outcome
+    worker.join(float(os.environ.get("BENCH_FORCED_BUDGET_S", "900")))
     if "emit" in box:
         _emit(*box["emit"][0], **box["emit"][1])
         os._exit(0)
@@ -307,12 +308,12 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
         return acc
 
     R_LO, R_HI = 512, 4608
-    deadline = time.time() + 1380.0
+    deadline = time.time() + 840.0
 
     # warmup: compile + the first-D2H lottery (on regressed sessions the
     # first transfer has been observed to take 100 s or never return);
     # generous budget — the remote compile alone can exceed 10 min
-    v = _fetch_with_timeout(run_repeat(state, jnp.int32(2)), 900.0)
+    v = _fetch_with_timeout(run_repeat(state, jnp.int32(2)), 700.0)
     if v is None or not np.isfinite(float(v)):
         box["why"] = (why + "; D2H-forced fallback also unavailable "
                             "(first fetch wedged or non-finite)")
