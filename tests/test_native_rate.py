@@ -139,3 +139,38 @@ def test_bad_block_geometry_is_a_clean_error():
     with pytest.raises(AssertionError):
         Receiver(ReceiverConfig(block_fm=131072, rds="block",
                                 native_rate=2_500_000))
+
+
+def test_live_streaming_at_native_rate(tmp_path):
+    """The live runner streams a native-rate raw capture through the
+    adapter bit-identically to the offline run (the carry contract holds
+    on the ring path; pacing/accounting use wire_rate)."""
+    from scipy import signal
+    from sdrjfm_tpu.runtime.stream import run_live, run_offline
+
+    n = int(1.5 * C.FM_RATE)
+    t = np.arange(n) / C.FM_RATE
+    mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 800.0 * t),
+                          0.5 * np.sin(2 * np.pi * 333.0 * t),
+                          synth.MPXParams())
+    iq = synth.fm_modulate(mpx, C.FM_RATE)
+    i16 = synth.iq_to_i16(signal.resample_poly(iq, 625, 576))
+    raw = str(tmp_path / "native.iq")
+    i16.tofile(raw)
+
+    cfg = ReceiverConfig(block_fm=12288, rds="block", iq_format="i16",
+                         native_rate=2_500_000)
+    rx = Receiver(cfg)
+    ref = run_offline(rx, i16)
+    try:
+        from sdrjfm_tpu.runtime.native_source import NativeRawSource
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    with NativeRawSource(raw, fmt="i16", rate=cfg.wire_rate,
+                         pace=False) as src:
+        assert src.rate == 2_500_000
+        live = run_live(rx, src)
+    assert live.dropped_total == 0
+    assert len(live.meta) == len(ref.meta)
+    np.testing.assert_array_equal(live.audio, ref.audio)
+    np.testing.assert_array_equal(live.rds_bits, ref.rds_bits)
