@@ -63,6 +63,12 @@ class FullyShardedReceiver:
         self.axis = axis
         n = int(mesh.devices.size)
         cfg = rx.cfg
+        # the debug taps are per-device time slices; this class's output
+        # spec replicates them, which would silently export one shard as
+        # if it were the whole block — use ShardedReceiver (or the
+        # single-device step) for tap/scope work
+        assert not cfg.emit_taps, \
+            "emit_taps is not supported by FullyShardedReceiver"
         t_fm_local = cfg.block_fm // n
         assert cfg.block_in % n == 0
         assert t_fm_local % cfg.fm_hop == 0, (t_fm_local, cfg.fm_hop)

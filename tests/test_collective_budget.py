@@ -116,3 +116,11 @@ def test_fused_gather_roundtrip():
     for g, w in zip(got, want):
         assert g.dtype == w.dtype
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fully_sharded_rejects_emit_taps():
+    """Debug taps are per-device slices; the fully-sharded output spec
+    would silently replicate one shard — must be a loud config error."""
+    cfg = ReceiverConfig(block_fm=131072, rds="block", emit_taps=True)
+    with pytest.raises(AssertionError, match="emit_taps"):
+        FullyShardedReceiver(Receiver(cfg), make_mesh(8))
