@@ -288,9 +288,14 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
 
     # R is a TRACED argument: fori_loop takes dynamic bounds, so both
     # repeat counts share ONE compile (r3's fallback compiled two separate
-    # programs and the second compile blew the watchdog)
+    # programs and the second compile blew the watchdog).  `blocks` and
+    # `controls` MUST be arguments, not closure captures: a closed-over
+    # array is embedded in the program as a CONSTANT, and the 402 MB
+    # 64-block input made the tunnel's remote-compile endpoint reject the
+    # upload (HTTP 413 "length limit exceeded" — diagnosed 2026-08-21;
+    # this is why every r3/r4 slope attempt "stalled in compile")
     @jax.jit
-    def run_repeat(state, R):
+    def run_repeat(state, controls, blocks, R):
         def rep(i, carry):
             st, acc = carry
 
@@ -313,7 +318,8 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
     # warmup: compile + the first-D2H lottery (on regressed sessions the
     # first transfer has been observed to take 100 s or never return);
     # generous budget — the remote compile alone can exceed 10 min
-    v = _fetch_with_timeout(run_repeat(state, jnp.int32(2)), 700.0)
+    v = _fetch_with_timeout(run_repeat(state, controls, blocks,
+                                       jnp.int32(2)), 700.0)
     if v is None or not np.isfinite(float(v)):
         box["why"] = (why + "; D2H-forced fallback also unavailable "
                             "(first fetch wedged or non-finite)")
@@ -325,7 +331,8 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
             if time.time() > deadline:
                 return None
             t0 = time.time()
-            r = _fetch_with_timeout(run_repeat(state, jnp.int32(R)), 180.0)
+            r = _fetch_with_timeout(run_repeat(state, controls, blocks,
+                                               jnp.int32(R)), 180.0)
             if r is None:
                 return None
             best = min(best, time.time() - t0)
