@@ -118,7 +118,7 @@ def _synth_capture(block_in, nblocks):
     return _IQ_CACHE[key]
 
 
-def _make_inputs(fmt):
+def _make_inputs(fmt, nblocks=64):
     """(receiver, state, controls, device blocks) for a wire format."""
     import jax
     import jax.numpy as jnp
@@ -131,10 +131,11 @@ def _make_inputs(fmt):
     controls = rx.initial_controls()
     state = rx.init_state()
 
-    # realistic input: 64 distinct blocks of synthesized stereo+RDS signal
-    # (distinct data so no aliasing/hoisting can flatter the number)
-    nblocks = 64
-    iq_np = _synth_capture(cfg.block_in, nblocks)
+    # realistic input: distinct blocks of synthesized stereo+RDS signal
+    # (distinct data so no aliasing/hoisting can flatter the number);
+    # always synthesize the full 64-block capture so a later smaller
+    # request (the slope fallback's 8-block footprint) hits the cache
+    iq_np = _synth_capture(cfg.block_in, 64)[: cfg.block_in * nblocks]
     wire = synth.iq_to_i16(iq_np) if fmt == "i16" else synth.iq_to_u8(iq_np)
     blocks = jax.device_put(jnp.asarray(wire)
                             .reshape(nblocks, cfg.block_in, 2))
@@ -263,6 +264,18 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
         stale(why + "; D2H probe (4-byte fetch) wedged — transfers are "
                     "down session-wide, skipping the slope fallback")
 
+    # slope footprint shrink (r5): 8 blocks of u8 wire instead of the
+    # 64-block i16 capture — 25 MB H2D instead of 402 MB, so a
+    # half-healthy session can upload + compile + fetch inside the
+    # watchdog budget.  The u8 path exercises the identical chain (the
+    # wire→complex conversion is the only differing stage) and the
+    # repeat counts are scaled 8x so the slope covers the same total
+    # device work as the 64-block program did.
+    try:
+        rx, state, controls, blocks, nblocks = _make_inputs("u8", nblocks=8)
+    except Exception:
+        pass  # fall back to the 64-block i16 inputs already built
+
     box = {}
     worker = threading.Thread(
         target=_forced_attempt,
@@ -312,7 +325,13 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
                                     (state, jnp.float32(0.0)))
         return acc
 
-    R_LO, R_HI = 512, 4608
+    # scale the repeat counts so total slope work is independent of the
+    # block count (the r5 slope path uses an 8-block program; the repeat
+    # deltas below give ~1.5-2 s of device work per slope at the last
+    # known healthy throughput — well above dispatch noise, well below
+    # the fetch timeout even on a 10x-degraded session)
+    scale = max(1, 64 // nblocks)
+    R_LO, R_HI = 512 * scale, 4608 * scale
     deadline = time.time() + 840.0
 
     # warmup: compile + the first-D2H lottery (on regressed sessions the
@@ -349,6 +368,8 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
     box["emit"] = ((sps / C.INPUT_RATE,), dict(
         method="d2h_slope",
         integrity_ratio=round(ratio, 2),
+        slope_blocks=nblocks,
+        slope_wire=rx.cfg.iq_format,
         note="completion-signaling regression active; slope of "
              f"R={R_LO}->{R_HI} chained repeats, completion forced by a "
              "scalar fetch that data-depends on every repeat"))
