@@ -283,12 +283,14 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
               ratio, why),
         daemon=True)
     worker.start()
-    # 900 s default: a healthy-D2H-but-broken-clock session was observed
+    # 1500 s default: a healthy-D2H-but-broken-clock session was observed
     # (2026-08-21) to need >600 s just to compile the slope program over
-    # the remote tunnel, so r3's 600 s fired mid-compile; but the budget
-    # must stay well under any external driver timeout — an externally
-    # killed bench prints NO record at all, the worst outcome
-    worker.join(float(os.environ.get("BENCH_FORCED_BUDGET_S", "900")))
+    # the remote tunnel AND ~100 s per scalar fetch, so the r3/r4 900 s
+    # budget left the two slope fetches ~140 s between them; but the
+    # budget must stay well under any external driver timeout (the pounce
+    # allows 2400 s total) — an externally killed bench prints NO record
+    # at all, the worst outcome
+    worker.join(float(os.environ.get("BENCH_FORCED_BUDGET_S", "1500")))
     if "emit" in box:
         _emit(*box["emit"][0], **box["emit"][1])
         os._exit(0)
@@ -332,7 +334,8 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
     # the fetch timeout even on a 10x-degraded session)
     scale = max(1, 64 // nblocks)
     R_LO, R_HI = 512 * scale, 4608 * scale
-    deadline = time.time() + 840.0
+    deadline = time.time() + float(
+        os.environ.get("BENCH_FORCED_BUDGET_S", "1500")) - 60.0
 
     # warmup: compile + the first-D2H lottery (on regressed sessions the
     # first transfer has been observed to take 100 s or never return);
@@ -345,17 +348,20 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
         return
 
     def timed(R):
-        best = float("inf")
-        for _ in range(2):
-            if time.time() > deadline:
-                return None
-            t0 = time.time()
-            r = _fetch_with_timeout(run_repeat(state, controls, blocks,
-                                               jnp.int32(R)), 180.0)
-            if r is None:
-                return None
-            best = min(best, time.time() - t0)
-        return best
+        # single measurement per R with a generous fetch window: on
+        # half-healthy sessions a scalar fetch alone can take ~100 s
+        # (attempt logs, PROBE_POUNCE_r05), and the slope subtracts the
+        # constant fetch overhead anyway — two tries at a tight timeout
+        # just burned the deadline (r5 attempt 1: dt_lo=None at 180 s)
+        if time.time() > deadline:
+            return None
+        t0 = time.time()
+        r = _fetch_with_timeout(run_repeat(state, controls, blocks,
+                                           jnp.int32(R)),
+                                min(330.0, max(60.0, deadline - t0)))
+        if r is None:
+            return None
+        return time.time() - t0
 
     dt_lo = timed(R_LO)
     dt_hi = timed(R_HI) if dt_lo is not None else None
