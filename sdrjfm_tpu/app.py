@@ -1119,7 +1119,16 @@ def cmd_scan(args) -> int:
         rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="block",
                                      audio_filter_hz=15000))
         from .models.bandscan import decode_rds_hit
-        per_station = demodulate_stations(rx, iq[:n], found)
+        # >1 device: put the station axis on the mesh (zero collectives —
+        # each device identifies whole stations, near-linear scaling)
+        import jax
+        mesh = None
+        if len(jax.devices()) > 1:
+            from .parallel.sharding import make_mesh
+            mesh = make_mesh(axis="stations")
+            print(f"identify: station axis sharded over "
+                  f"{len(jax.devices())} devices", file=sys.stderr)
+        per_station = demodulate_stations(rx, iq[:n], found, mesh=mesh)
         for entry, res in zip(results, per_station):
             entry["pilot_locked"] = bool(res["meta"]["pilot_locked"])
             if res["rds_bits"] is not None:

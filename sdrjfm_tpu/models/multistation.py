@@ -63,13 +63,79 @@ class MultiStationReceiver:
         return self._step(states, controls, iq)
 
 
+class ShardedMultiStationReceiver(MultiStationReceiver):
+    """The station axis on a device mesh: shard_map(vmap(rx.step)).
+
+    Each device runs `n_stations / n_devices` COMPLETE stations against a
+    replicated copy of the wideband block — zero collectives (the station
+    axis is embarrassingly parallel), so scaling is near-linear by
+    construction: this is the flagship multi-chip configuration.  It is
+    the parallel replacement for the reference's serial scan loop
+    (radio.cpp:1115-1158), which retunes and listens to one station at a
+    time.
+
+    n_stations must be a multiple of the mesh size — `pad_offsets` rounds
+    a hit list up with dummy stations (offset 0) whose results callers
+    drop.  Per-station results are bit-identical to the vmap path: the
+    program inside shard_map IS the vmapped step, just over a sliced
+    station batch (tests/test_multistation.py asserts this on an 8-way
+    CPU mesh).
+    """
+
+    def __init__(self, rx: Receiver, mesh=None, axis: str = "stations"):
+        from ..parallel.sharding import make_mesh, relaxed_shard_map
+
+        super().__init__(rx)
+        self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
+        self.axis = axis
+        self.n_devices = self.mesh.devices.size
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.station_sharding = NamedSharding(self.mesh, P(axis))
+        self.replicated = NamedSharding(self.mesh, P())
+        vstep = jax.vmap(rx.step, in_axes=(0, 0, None))
+        body = relaxed_shard_map(
+            vstep, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis)))
+        self._step = jax.jit(body)
+
+    def pad_offsets(self, offsets_hz: Sequence[int]) -> List[int]:
+        """Round a station list up to a multiple of the mesh size (dummy
+        stations at offset 0; callers slice results back to len(offsets))."""
+        offsets = list(offsets_hz)
+        pad = (-len(offsets)) % self.n_devices
+        return offsets + [0] * pad
+
+    def init_states(self, n_stations: int):
+        assert n_stations % self.n_devices == 0, \
+            f"{n_stations} stations over {self.n_devices} devices " \
+            "(use pad_offsets)"
+        return jax.device_put(super().init_states(n_stations),
+                              self.station_sharding)
+
+    def controls_for(self, offsets_hz: Sequence[int]) -> Controls:
+        assert len(offsets_hz) % self.n_devices == 0
+        return jax.device_put(super().controls_for(offsets_hz),
+                              self.station_sharding)
+
+
 def demodulate_stations(rx: Receiver, iq: np.ndarray,
-                        offsets_hz: Sequence[int]) -> List[dict]:
+                        offsets_hz: Sequence[int],
+                        mesh=None) -> List[dict]:
     """Offline helper: run the whole capture for every offset in one
     vmapped block loop.  Returns per-station dicts with 'audio' [n, 2],
     'rds_bits' (np.uint8) and 'meta' (last block's metadata).
+
+    mesh: a jax.sharding.Mesh puts the station axis on devices
+    (ShardedMultiStationReceiver) — the hit list is padded to the mesh
+    size and the dummy results dropped.
     """
-    msr = MultiStationReceiver(rx)
+    n_real = len(offsets_hz)
+    if mesh is not None:
+        msr = ShardedMultiStationReceiver(rx, mesh)
+        offsets_hz = msr.pad_offsets(offsets_hz)
+    else:
+        msr = MultiStationReceiver(rx)
     n = len(offsets_hz)
     T = rx.cfg.block_in
     nblocks = len(iq) // T
@@ -89,7 +155,7 @@ def demodulate_stations(rx: Receiver, iq: np.ndarray,
                 bits[s].append(all_bits[s, : int(counts[s])])
         meta = {k: np.asarray(v) for k, v in out.meta._asdict().items()}
     results = []
-    for s in range(n):
+    for s in range(n_real):      # padded dummy stations are dropped
         results.append({
             "offset_hz": int(offsets_hz[s]),
             "audio": np.concatenate([a[s] for a in audio], axis=0),

@@ -45,6 +45,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def relaxed_shard_map(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across jax versions (the
+    kwarg was renamed check_rep -> check_vma; older jax exposes shard_map
+    under jax.experimental)."""
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    params = inspect.signature(shard_map).parameters
+    relax = ({"check_vma": False} if "check_vma" in params
+             else {"check_rep": False})
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **relax)
+
+
 class FullyShardedReceiver:
     """Receiver step with BOTH the front end and the fm chain partitioned
     over a 1-D time mesh (SCALING.md roadmap realised): convolutions take

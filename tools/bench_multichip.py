@@ -140,6 +140,31 @@ def main():
                    **({"sharding_tax_pct": round(100 * (dt / dt1 - 1), 1)}
                       if n == 1 else {}))
 
+    # --- station-axis sharding: whole stations per device ----------------
+    # The zero-collective configuration (models/multistation.py): N
+    # stations demodulated from one shared capture, station axis on the
+    # mesh.  The denominator is the SAME N stations vmapped on one device.
+    from sdrjfm_tpu.models.multistation import (MultiStationReceiver,
+                                                ShardedMultiStationReceiver)
+    n_st = n_max
+    offsets = [((i % 5) - 2) * 100_000 for i in range(n_st)]
+    msr = MultiStationReceiver(rx)
+    dt_v = _throughput(msr.step, msr.init_states(n_st),
+                       msr.controls_for(offsets), plain_blocks, args.reps)
+    record("stations_vmap_1dev", dt_v, 1, stations=n_st)
+    for n in sizes:
+        if n_st % n != 0:
+            continue
+        smsr = ShardedMultiStationReceiver(rx, make_mesh(n, axis="stations"))
+        rep_blocks = [jax.device_put(jnp.asarray(b), smsr.replicated)
+                      for b in blocks_np]
+        dt = _throughput(smsr.step, smsr.init_states(n_st),
+                         smsr.controls_for(offsets), rep_blocks, args.reps)
+        speedup = dt_v / dt
+        record(f"stations_sharded_{n}dev", dt, n, stations=n_st,
+               speedup_vs_vmap_1dev=round(speedup, 3),
+               efficiency=round(speedup / n, 3))
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"block_fm": cfg.block_fm, "blocks": nb,
