@@ -212,6 +212,12 @@ def _build_rx_parser(sub):
                    help="rtl_tcp: enable the tuner AGC (opcode 0x08)")
     p.add_argument("--ppm", type=int,
                    help="rtl_tcp: frequency correction in ppm (opcode 0x05)")
+    p.add_argument("--linearity", type=int,
+                   help="airspy: composite linearity gain 0-21 "
+                        "(airspy-handler.cpp:399-408)")
+    p.add_argument("--sensitivity", type=int,
+                   help="airspy: composite sensitivity gain 0-21 "
+                        "(airspy-handler.cpp:390-397)")
     p.add_argument("--reconnect-timeout", type=float, default=0.0,
                    help="rtl_tcp: if the server drops mid-run, retry with "
                         "backoff for up to this many seconds, replay the "
@@ -444,15 +450,22 @@ def cmd_rx(args) -> int:
     iq = None
     is_rtltcp = args.iq.startswith(("rtl_tcp://", "rtltcp://"))
     is_rtlsdr = args.iq == "rtlsdr" or args.iq.startswith("rtlsdr:")
-    is_pipe = (not is_rtlsdr and (args.iq == "-" or _is_fifo(args.iq)))
+    is_airspy = args.iq == "airspy"
+    is_pipe = (not is_rtlsdr and not is_airspy
+               and (args.iq == "-" or _is_fifo(args.iq)))
     if (args.gain is not None or args.agc or args.ppm is not None) \
             and not (is_rtltcp or is_rtlsdr):
         print("--gain/--agc/--ppm control a hardware device; pass --iq "
               "rtl_tcp://host:port or --iq rtlsdr[:index]", file=sys.stderr)
         return 2
-    if args.input_rate and (is_rtltcp or is_rtlsdr):
-        print("--input-rate applies to raw/pipe captures; rtl hardware "
-              "streams at 2.304 MS/s already", file=sys.stderr)
+    if (args.linearity is not None or args.sensitivity is not None) \
+            and not is_airspy:
+        print("--linearity/--sensitivity control an airspy; pass "
+              "--iq airspy", file=sys.stderr)
+        return 2
+    if args.input_rate and (is_rtltcp or is_rtlsdr or is_airspy):
+        print("--input-rate applies to raw/pipe captures; SDR hardware "
+              "negotiates its own rate", file=sys.stderr)
         return 2
     if args.reconnect_timeout and not is_rtltcp:
         print("--reconnect-timeout controls an rtl_tcp device; pass --iq "
@@ -464,13 +477,22 @@ def cmd_rx(args) -> int:
     # a missing/unreadable/corrupt capture is a clean message + exit 2,
     # not a traceback
     try:
-        is_wav = (False if (is_rtltcp or is_pipe or is_rtlsdr)
+        is_wav = (False if (is_rtltcp or is_pipe or is_rtlsdr or is_airspy)
                   else is_riff(args.iq))
         if is_rtltcp or is_rtlsdr:
             # live SDR hardware (network rtl_tcp or in-process dlopen
             # dongle): u8 stream over the ring (streaming only)
             args.follow = True
             iq_fmt, rate = "u8", C.INPUT_RATE
+        elif is_airspy:
+            # airspy opens NOW: its negotiated native rate (closest
+            # supported to 2 MS/s, airspy-handler.cpp:103-116) sets the
+            # receiver's on-device rate adapter
+            from .runtime.native_source import AirspyUsbSource
+            airspy_src = AirspyUsbSource()
+            args.follow = True
+            iq_fmt, rate = "i16", C.INPUT_RATE
+            args.input_rate = airspy_src.rate   # -> cfg.native_rate
         elif is_pipe:
             # stdin / FIFO: headerless stream from any external SDR tool
             # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming
@@ -756,6 +778,22 @@ def cmd_rx(args) -> int:
                         if args.agc:
                             src.set_agc(True)
                             src.set_gain_mode(False)
+                        if args.tune_hz:
+                            src.set_frequency(args.tune_hz)
+                        if ctl_proc is not None:
+                            ctl_proc.source = src
+                            if args.tune_hz:
+                                ctl_proc.center_hz = int(args.tune_hz)
+                    elif is_airspy:
+                        # opened during input probing (rate negotiation);
+                        # settings in the airspy-handler's order: composite
+                        # gains, then the frequency (airspy-handler.cpp:
+                        # 209-231)
+                        src = airspy_src
+                        if args.linearity is not None:
+                            src.set_linearity(args.linearity)
+                        if args.sensitivity is not None:
+                            src.set_sensitivity(args.sensitivity)
                         if args.tune_hz:
                             src.set_frequency(args.tune_hz)
                         if ctl_proc is not None:

@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_rtlsdr_open           # newest ABI symbol; probes staleness
+        lib.sdr_airspy_open           # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_rtlsdr_open) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_airspy_open) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -168,6 +168,35 @@ def load_library(build: bool = True):
     lib.sdr_rtlsdr_dropped.argtypes = [ctypes.c_void_p]
     lib.sdr_rtlsdr_eof.restype = ctypes.c_int
     lib.sdr_rtlsdr_eof.argtypes = [ctypes.c_void_p]
+    # in-process dlopen(libairspy) device
+    lib.sdr_airspy_last_error.restype = ctypes.c_char_p
+    lib.sdr_airspy_open.restype = ctypes.c_void_p
+    lib.sdr_airspy_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.sdr_airspy_rate.restype = ctypes.c_uint32
+    lib.sdr_airspy_rate.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_set_freq.restype = ctypes.c_int
+    lib.sdr_airspy_set_freq.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    for f in ("set_linearity", "set_sensitivity", "set_lna", "set_vga",
+              "set_mixer", "set_lna_agc", "set_mixer_agc"):
+        fn = getattr(lib, f"sdr_airspy_{f}")
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_airspy_start.restype = ctypes.c_int
+    lib.sdr_airspy_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_airspy_flush.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_airspy_read_blocking.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_uint8),
+                                             ctypes.c_size_t, ctypes.c_long]
+    lib.sdr_airspy_available.restype = ctypes.c_size_t
+    lib.sdr_airspy_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_dropped.restype = ctypes.c_uint64
+    lib.sdr_airspy_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_airspy_eof.restype = ctypes.c_int
+    lib.sdr_airspy_eof.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -462,6 +491,130 @@ class RtlSdrUsbSource:
     def close(self):
         if self._h:
             self._lib.sdr_rtlsdr_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class AirspyUsbSource:
+    """In-process Airspy via dlopen(libairspy) — the reference's
+    airspy-handler semantics (devices/airspy/airspy-handler.cpp): INT16_IQ
+    sample type (:102), `airspy_get_samplerates` negotiation picking the
+    supported rate closest to 2 MS/s (:103-116), streaming at the device's
+    NATIVE rate with the rate conversion to 2.304 MS/s done by the
+    receiver's on-device linear-interpolation adapter
+    (ReceiverConfig(native_rate=src.rate, iq_format='i16') ≡ the
+    handler's mapTable, :118-127), and the linearity/sensitivity/raw gain
+    surface (:330-408).
+
+    `libname` overrides the library path (tests drive an in-tree fake
+    libairspy; the SDRJFM_LIBAIRSPY env var does the same for the CLI).
+    Library absence or no device raises IOError -> the CLI's
+    "loading device failed" contract.
+
+    Scale note: airspy delivers 12-bit samples (±2048 over the i16 wire);
+    the chain's i16 conversion divides by 32768 like the reference's
+    filereader, leaving a constant 24 dB level offset that the
+    unit-circle-normalizing discriminator cancels (fm-demodulator.cpp:
+    119-126) — only absolute meters read lower.
+    """
+
+    fmt = "i16"
+
+    def __init__(self, ring_frames: int = 1 << 22, libname: str = None):
+        self._lib = load_library()
+        if libname is None:
+            libname = os.environ.get("SDRJFM_LIBAIRSPY")
+        self._h = self._lib.sdr_airspy_open(
+            libname.encode() if libname else None, ring_frames)
+        if not self._h:
+            err = self._lib.sdr_airspy_last_error().decode()
+            raise IOError(f"airspy device: {err}")
+        self._rate = int(self._lib.sdr_airspy_rate(self._h))
+
+    @property
+    def rate(self) -> int:
+        """The NEGOTIATED native rate (e.g. 2_500_000), not 2.304 MS/s."""
+        return self._rate
+
+    # -- control surface (airspy-handler.cpp:180-195, 330-408) -----------
+    def _ck(self, rc: int, what: str) -> None:
+        if rc != 0:
+            raise IOError(f"airspy {what} failed ({rc})")
+
+    def set_frequency(self, hz: int) -> None:
+        self._ck(self._lib.sdr_airspy_set_freq(self._h, int(hz)),
+                 "set_freq")
+
+    def set_linearity(self, gain: int) -> None:
+        self._ck(self._lib.sdr_airspy_set_linearity(self._h, int(gain)),
+                 "set_linearity_gain")
+
+    def set_sensitivity(self, gain: int) -> None:
+        self._ck(self._lib.sdr_airspy_set_sensitivity(self._h, int(gain)),
+                 "set_sensitivity_gain")
+
+    def set_lna_gain(self, gain: int) -> None:
+        self._ck(self._lib.sdr_airspy_set_lna(self._h, int(gain)),
+                 "set_lna_gain")
+
+    def set_vga_gain(self, gain: int) -> None:
+        self._ck(self._lib.sdr_airspy_set_vga(self._h, int(gain)),
+                 "set_vga_gain")
+
+    def set_mixer_gain(self, gain: int) -> None:
+        self._ck(self._lib.sdr_airspy_set_mixer(self._h, int(gain)),
+                 "set_mixer_gain")
+
+    def set_lna_agc(self, on: bool) -> None:
+        self._ck(self._lib.sdr_airspy_set_lna_agc(self._h, 1 if on else 0),
+                 "set_lna_agc")
+
+    def set_mixer_agc(self, on: bool) -> None:
+        self._ck(self._lib.sdr_airspy_set_mixer_agc(
+            self._h, 1 if on else 0), "set_mixer_agc")
+
+    def flush(self) -> None:
+        self._lib.sdr_airspy_flush(self._h)
+
+    # -- streaming surface (Source protocol) -----------------------------
+    def start(self):
+        if self._lib.sdr_airspy_start(self._h) != 0:
+            raise IOError(self._lib.sdr_airspy_last_error().decode())
+
+    def pause(self, on: bool) -> None:
+        self._lib.sdr_airspy_pause(self._h, 1 if on else 0)
+
+    def stop(self):
+        self._lib.sdr_airspy_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_airspy_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_airspy_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_airspy_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] int16 (iq_format='i16')."""
+        buf = np.empty(n_frames * 2, dtype=np.int16)
+        got = self._lib.sdr_airspy_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * 2].reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_airspy_close(self._h)
             self._h = None
 
     def __enter__(self):
