@@ -47,8 +47,10 @@ import numpy as np
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def _fetch_with_timeout(arr, timeout_s):
-    """Force completion by fetching `arr` to host; None if it wedges."""
+def _fetch_with_timeout(arr, timeout_s, err_out=None):
+    """Force completion by fetching `arr` to host; None if it wedges.
+    err_out (a dict) receives 'err': 'timeout after Ns' | repr(exception)
+    so failures distinguish a wedged transfer from a dead one."""
     box = {}
 
     def work():
@@ -60,6 +62,8 @@ def _fetch_with_timeout(arr, timeout_s):
     t = threading.Thread(target=work, daemon=True)
     t.start()
     t.join(timeout_s)
+    if err_out is not None and "v" not in box:
+        err_out["err"] = box.get("e", f"timeout after {timeout_s:.0f}s")
     return box.get("v")
 
 
@@ -340,12 +344,15 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
     # warmup: compile + the first-D2H lottery (on regressed sessions the
     # first transfer has been observed to take 100 s or never return);
     # generous budget — the remote compile alone can exceed 10 min
+    werr = {}
     v = _fetch_with_timeout(run_repeat(state, controls, blocks,
-                                       jnp.int32(2)), 700.0)
+                                       jnp.int32(2)), 700.0, werr)
     if v is None or not np.isfinite(float(v)):
         box["why"] = (why + "; D2H-forced fallback also unavailable "
-                            "(first fetch wedged or non-finite)")
+                            f"(warmup fetch: {werr.get('err', 'non-finite')})")
         return
+
+    terr = {}
 
     def timed(R):
         # single measurement per R with a generous fetch window: on
@@ -354,11 +361,12 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
         # constant fetch overhead anyway — two tries at a tight timeout
         # just burned the deadline (r5 attempt 1: dt_lo=None at 180 s)
         if time.time() > deadline:
+            terr["err"] = "deadline exceeded before fetch"
             return None
         t0 = time.time()
         r = _fetch_with_timeout(run_repeat(state, controls, blocks,
                                            jnp.int32(R)),
-                                min(330.0, max(60.0, deadline - t0)))
+                                min(330.0, max(60.0, deadline - t0)), terr)
         if r is None:
             return None
         return time.time() - t0
@@ -367,7 +375,8 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
     dt_hi = timed(R_HI) if dt_lo is not None else None
     if dt_lo is None or dt_hi is None or dt_hi <= dt_lo:
         box["why"] = (why + "; D2H-forced slope timing failed "
-                            f"(dt_lo={dt_lo}, dt_hi={dt_hi})")
+                            f"(dt_lo={dt_lo}, dt_hi={dt_hi}, "
+                            f"fetch_err={terr.get('err')})")
         return
     t_rep = (dt_hi - dt_lo) / (R_HI - R_LO)
     sps = nblocks * rx.cfg.block_in / t_rep

@@ -575,6 +575,12 @@ def cmd_rx(args) -> int:
     cfg_kw = {}
     if fm_bw_hz is not None:
         cfg_kw["fm_bandwidth_hz"] = fm_bw_hz
+    if args.block_fm < 4096:
+        # ultra-low-latency geometry (README latency table): the
+        # overlap-save hops shrink to the block; the scan RDS decoders
+        # have no bit grid so they admit any block size
+        cfg_kw["fm_hop"] = args.block_fm
+        cfg_kw["input_hop"] = args.block_fm * 12
     cfg = ReceiverConfig(
         block_fm=args.block_fm, decoder=args.decoder, mode=args.mode,
         sound=args.sound, panorama=args.panorama,

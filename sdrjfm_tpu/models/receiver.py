@@ -310,8 +310,13 @@ class Receiver:
         self.H_input = design.fft_filter_response(
             k_in, cfg.input_fft).astype(np.complex64)
         # pilot + PSS + squelch + RDS designs
-        self.pilot_cfg = make_pilot_config(fs_fm, cfg.fm_fft)
-        self.pss_cfg = make_pss_config(fs_fm)
+        self.pilot_cfg = make_pilot_config(fs_fm, cfg.fm_fft,
+                                           hop=cfg.fm_hop)
+        # PSS sub-block shrinks with the block below the default 4096 so
+        # ultra-low-latency geometries (block_fm=2048 ≈ 10.7 ms with the
+        # scan decoders) still carry PSS; configs >= 4096 are untouched
+        self.pss_cfg = make_pss_config(fs_fm,
+                                       subblock=min(4096, cfg.block_fm))
         self.squelch_cfg = (make_squelch_config(fs_fm)
                             if cfg.squelch != "off" else None)
         # RDS tap: one-sided 57 kHz bandpass == reference's real bandpass +

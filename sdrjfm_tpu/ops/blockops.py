@@ -180,7 +180,7 @@ def fft_filter_apply(x: Array, response: Array, hop: int,
                      carry: Array) -> Tuple[Array, Array]:
     """Batched overlap-save convolution of a block with a frozen kernel.
 
-    x        : [T] block, T % hop == 0, T >= F-hop
+    x        : [T] block, T % hop == 0
     response : [F] complex frequency response of the (degree<=F-hop+1) kernel
     carry    : [F-hop] trailing input samples of the previous block
     Returns (y [T] causal filtered block, new_carry).
@@ -194,7 +194,10 @@ def fft_filter_apply(x: Array, response: Array, hop: int,
     F = response.shape[0]
     halo = F - hop
     T = x.shape[0]
-    assert T % hop == 0 and T >= halo, (T, hop, F)
+    # T may be SMALLER than the halo (low-latency blocks): the carry is
+    # simply 'the trailing halo input samples', which xp[-halo:] yields
+    # for any T — block-split == whole-array still holds exactly
+    assert T % hop == 0, (T, hop, F)
     xp = jnp.concatenate([carry, x])                    # [T + halo]
     new_carry = xp[-halo:]
     nframes = T // hop
@@ -219,7 +222,7 @@ def fft_filter_apply_multi(x: Array, responses: Array, hop: int,
     for a real input the forward runs as an rfft (half the points) with the
     negative-frequency half mirrored by conjugate symmetry.
 
-    x         : [T] real or complex block, T % hop == 0, T >= F-hop
+    x         : [T] real or complex block, T % hop == 0
     responses : [M, F] complex frequency responses (degree <= F-hop+1 each)
     carry     : [F-hop] trailing input samples of the previous block
                 (complex storage is fine for a real stream; the imaginary
@@ -231,7 +234,7 @@ def fft_filter_apply_multi(x: Array, responses: Array, hop: int,
     M, F = responses.shape
     halo = F - hop
     T = x.shape[0]
-    assert T % hop == 0 and T >= halo, (T, hop, F)
+    assert T % hop == 0, (T, hop, F)   # T < halo is fine (see above)
     dt = jnp.result_type(carry.dtype, x.dtype)
     xp = jnp.concatenate([carry.astype(dt), x.astype(dt)])
     new_carry = xp[-halo:]

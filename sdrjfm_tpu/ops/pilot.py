@@ -52,11 +52,17 @@ class PilotConfig(NamedTuple):
 
 def make_pilot_config(rate: int = C.FM_RATE, fft_size: int = 8192,
                       taps: int = PILOT_BP_TAPS,
-                      half_width: float = PILOT_BP_HALF_WIDTH) -> PilotConfig:
+                      half_width: float = PILOT_BP_HALF_WIDTH,
+                      hop: int = 0) -> PilotConfig:
     k = design.bandpass_complex(taps, C.PILOT_FREQUENCY - half_width,
                                 C.PILOT_FREQUENCY + half_width, rate)
     H = design.fft_filter_response(k, fft_size).astype(np.complex64)
-    return PilotConfig(fft_size=fft_size, hop=fft_size // 2, response=H,
+    # hop: overlap-save stride; defaults to fft_size//2, but must shrink
+    # to the receiver's fm_hop for sub-4096 low-latency blocks (and to
+    # keep the shared-forward-FFT fusion geometry matched)
+    hop = hop or fft_size // 2
+    assert hop + taps - 1 <= fft_size
+    return PilotConfig(fft_size=fft_size, hop=hop, response=H,
                        group_delay=(taps - 1) // 2, rate=rate)
 
 

@@ -188,7 +188,8 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
                   rds_feedback=None,
                   controls_update=None,
                   command_hook=None,
-                  on_state=None) -> StreamResult:
+                  on_state=None,
+                  double_buffer: bool = True) -> StreamResult:
     """Streaming block driver: per-block callbacks + double-buffered input.
 
     Block k+1's host→device transfer is issued (async `jax.device_put`)
@@ -255,10 +256,19 @@ def run_streaming(rx: Receiver, iq: np.ndarray,
     wire = _wire_dtype(cfg)
     audio_acc, metas, bits_acc, biq_acc = [], [], [], []
     tap_acc: dict = {}
-    dev_blk = jax.device_put(jnp.asarray(iq[:T], wire))
+    # double_buffer=False serializes staging (upload block k, wait, then
+    # dispatch) — the A/B control for measuring what the overlap buys
+    # (tools/bench_sustained.py 'nodbuf' rows); production always overlaps
+    dev_blk = (jax.device_put(jnp.asarray(iq[:T], wire))
+               if double_buffer else None)
     for b in range(nblocks):
+        if not double_buffer:
+            dev_blk = jax.device_put(jnp.asarray(iq[b * T:(b + 1) * T],
+                                                 wire))
+            jax.block_until_ready(dev_blk)
         state, out = step(state, controls, dev_blk)
-        if b + 1 < nblocks:          # stage the next block while this computes
+        if double_buffer and b + 1 < nblocks:
+            # stage the next block while this one computes
             dev_blk = jax.device_put(
                 jnp.asarray(iq[(b + 1) * T:(b + 2) * T], wire))
         if b < drop_blocks:

@@ -84,6 +84,43 @@ class TestFFTFilter:
             got.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(got), want, atol=2e-4)
 
+    def test_blocks_smaller_than_halo_stitch_exactly(self):
+        """T < F-hop (ultra-low-latency geometry, block_fm=2048 with
+        fm_fft=8192): the carry is 'the trailing halo input samples'
+        regardless of block size, so tiny blocks == whole-array."""
+        x = RNG.standard_normal(8192).astype(np.float32)
+        k = design.lowpass_sinc(751, 0.05, 1.0)
+        F, hop = 4096, 512                    # halo = 3584 >> block 512
+        H = jnp.asarray(design.fft_filter_response(k, F), jnp.complex64)
+        whole, _ = B.fft_filter_apply(jnp.asarray(x), H, hop,
+                                      B.fft_filter_zero_state(F, hop))
+        carry = B.fft_filter_zero_state(F, hop)
+        got = []
+        for blk in _blocks(x, 16):            # 512-sample blocks
+            y, carry = B.fft_filter_apply(jnp.asarray(blk), H, hop, carry)
+            got.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(got), np.asarray(whole),
+                                   atol=1e-5)
+
+    def test_multi_blocks_smaller_than_halo_stitch_exactly(self):
+        x = RNG.standard_normal(8192).astype(np.float32)
+        k1 = design.lowpass_sinc(751, 0.05, 1.0)
+        k2 = design.lowpass_sinc(751, 0.2, 1.0)
+        F, hop = 4096, 512
+        H = jnp.asarray(np.stack([design.fft_filter_response(k1, F),
+                                  design.fft_filter_response(k2, F)]),
+                        jnp.complex64)
+        whole, _ = B.fft_filter_apply_multi(
+            jnp.asarray(x), H, hop, B.fft_filter_zero_state(F, hop))
+        carry = B.fft_filter_zero_state(F, hop)
+        got = []
+        for blk in _blocks(x, 16):
+            ys, carry = B.fft_filter_apply_multi(jnp.asarray(blk), H, hop,
+                                                 carry)
+            got.append(np.asarray(ys))
+        np.testing.assert_allclose(np.concatenate(got, axis=1),
+                                   np.asarray(whole), atol=1e-5)
+
     def test_overlap_save_complex_onesided(self):
         """One-sided (analytic) bandpass: output ~ analytic signal of a tone."""
         fs, f0 = 192000.0, 19000.0

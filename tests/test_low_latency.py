@@ -100,3 +100,61 @@ def test_scan_decoders_take_any_block(capture):
     sync, result = _decode(res.rds_bits)
     assert sync.groups_decoded > 10
     assert result.pi_code == 0x40F0
+
+
+class TestUltraLowLatency2048:
+    """block_fm=2048 ≈ 10.7 ms accumulation (r4 verdict Next #6): the
+    scan decoders have no bit grid (block_rds=256), the pilot/RDS
+    overlap-save hop shrinks to the block (T < halo is legal — the carry
+    is just the trailing halo input samples), and the PSS sub-block
+    follows the block down.  Half the r4 floor; the reference's engine
+    granularity is ~7 ms (fm-processor.cpp:388)."""
+
+    CFG = dict(block_fm=2048, fm_hop=2048, input_hop=24576, rds="scan2")
+
+    def test_decodes_cleanly(self, capture):
+        rx = Receiver(ReceiverConfig(**self.CFG))
+        res = run_offline(rx, capture, drop_blocks=48)
+        sync, result = _decode(res.rds_bits)
+        assert sync.groups_decoded >= 30, sync.groups_decoded
+        assert sync.num_sync_errors == 0 and sync.num_crc_errors == 0
+        assert result.pi_code == 0x40F0
+        assert result.station_label == "LOWLAT  "
+        assert res.meta[-1]["pilot_locked"]
+        assert res.meta[-1]["pss_established"]
+
+    def test_paced_live_latency(self, capture, tmp_path):
+        """Paced live run at HALF real time (CI load cannot flake it):
+        zero ring drops with the CLI's pre-compile, and per-block
+        processing latency bounded well under the paced block period."""
+        import struct
+        import jax.numpy as jnp
+        from sdrjfm_tpu.io.wavio import write_iq_wav
+        from sdrjfm_tpu.runtime.native_source import NativeRawSource
+        from sdrjfm_tpu.runtime.stream import run_live
+
+        path = str(tmp_path / "lowlat.wav")
+        write_iq_wav(path, capture[: int(2.0 * C.INPUT_RATE)],
+                     C.INPUT_RATE, float32=False)
+        slow = str(tmp_path / "slow.wav")
+        data = bytearray(open(path, "rb").read())
+        i = data.index(b"fmt ")
+        ba = struct.unpack_from("<H", data, i + 20)[0]
+        struct.pack_into("<I", data, i + 12, C.INPUT_RATE // 2)
+        struct.pack_into("<I", data, i + 16, C.INPUT_RATE // 2 * ba)
+        open(slow, "wb").write(bytes(data))
+
+        rx = Receiver(ReceiverConfig(iq_format="i16", **self.CFG))
+        # pre-compile like the CLI: the compile window must not overrun
+        # the paced ring (models/receiver.jit_step is memoized)
+        step = rx.jit_step()
+        step(rx.init_state(), rx.initial_controls(),
+             jnp.zeros((rx.cfg.block_in, 2), jnp.int16))
+        with NativeRawSource(slow, pace=True) as src:
+            res = run_live(rx, src)
+        assert res.dropped_total == 0
+        lats = sorted(m["latency_ms"] for m in res.meta[8:])
+        block_ms = 1e3 * 2048 / C.FM_RATE                  # 10.7
+        # idle-host measurement (README row): p50 ~10.5 ms at real-time
+        # pacing; under CI load allow up to 4 block times
+        assert lats[len(lats) // 2] < 4 * block_ms, lats[len(lats) // 2]

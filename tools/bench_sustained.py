@@ -63,7 +63,7 @@ def main():
                       chunk_blocks=64)
 
     def timed(r, collect_meta: bool, chunk: int = 1,
-              passes: int = 3) -> float:
+              passes: int = 3, dbuf: bool = True) -> float:
         consumed = [0]
 
         def on_audio(frames):
@@ -75,19 +75,26 @@ def main():
             t0 = time.time()
             run_streaming(r, iq_np, controls, on_audio=on_audio,
                           keep_outputs=False, collect_meta=collect_meta,
-                          chunk_blocks=chunk)
+                          chunk_blocks=chunk, double_buffer=dbuf)
             d = time.time() - t0
             assert consumed[0] == nblocks * cfg.block_fm // 4
             dt = min(dt, d)
         return dt
 
-    for name, r, meta_on, chunk in (
-            ("fm_sustained_realtime_x", rx, False, 1),
-            ("fm_sustained_meta_realtime_x", rx, True, 1),
-            ("fm_sustained_chunk64_realtime_x", rx, False, 64),
-            ("fm_sustained_wire_realtime_x", rx_wire, True, 1),
-            ("fm_sustained_chunk64_wire_realtime_x", rx_wire, False, 64)):
-        dt = timed(r, meta_on, chunk)
+    # the nodbuf rows are the A/B control for the double-buffered H2D:
+    # identical driver with staging serialized (upload, wait, dispatch) —
+    # the difference IS what the overlap buys on this link
+    for name, r, meta_on, chunk, dbuf in (
+            ("fm_sustained_realtime_x", rx, False, 1, True),
+            ("fm_sustained_nodbuf_realtime_x", rx, False, 1, False),
+            ("fm_sustained_meta_realtime_x", rx, True, 1, True),
+            ("fm_sustained_chunk64_realtime_x", rx, False, 64, True),
+            ("fm_sustained_wire_realtime_x", rx_wire, True, 1, True),
+            ("fm_sustained_wire_nodbuf_realtime_x", rx_wire, True, 1,
+             False),
+            ("fm_sustained_chunk64_wire_realtime_x", rx_wire, False, 64,
+             True)):
+        dt = timed(r, meta_on, chunk, dbuf=dbuf)
         sps = nblocks * cfg.block_in / dt
         print(json.dumps({
             "metric": name,
