@@ -268,15 +268,15 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
         stale(why + "; D2H probe (4-byte fetch) wedged — transfers are "
                     "down session-wide, skipping the slope fallback")
 
-    # slope footprint shrink (r5): 8 blocks of u8 wire instead of the
-    # 64-block i16 capture — 25 MB H2D instead of 402 MB, so a
-    # half-healthy session can upload + compile + fetch inside the
-    # watchdog budget.  The u8 path exercises the identical chain (the
-    # wire→complex conversion is the only differing stage) and the
-    # repeat counts are scaled 8x so the slope covers the same total
-    # device work as the 64-block program did.
+    # slope footprint (r5): u8 wire halves the input upload vs i16
+    # (201 MB as a jit ARGUMENT — H2D data transfer, which the remote
+    # endpoint handles fine; the HTTP-413 limit only applied to arrays
+    # embedded in the PROGRAM as closure constants).  The full 64-block
+    # scan stays per dispatch so the per-repeat cost is compute-dominated,
+    # matching the normal path's dispatch+compute semantics.
     try:
-        rx, state, controls, blocks, nblocks = _make_inputs("u8", nblocks=8)
+        rx, state, controls, blocks, nblocks = _make_inputs("u8",
+                                                            nblocks=64)
     except Exception:
         pass  # fall back to the 64-block i16 inputs already built
 
@@ -305,37 +305,43 @@ def _bench_forced(jax, jnp, C, rx, state, controls, blocks, nblocks, ratio):
 def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
                     ratio, why):
 
-    # R is a TRACED argument: fori_loop takes dynamic bounds, so both
-    # repeat counts share ONE compile (r3's fallback compiled two separate
-    # programs and the second compile blew the watchdog).  `blocks` and
-    # `controls` MUST be arguments, not closure captures: a closed-over
-    # array is embedded in the program as a CONSTANT, and the 402 MB
-    # 64-block input made the tunnel's remote-compile endpoint reject the
-    # upload (HTTP 413 "length limit exceeded" — diagnosed 2026-08-21;
-    # this is why every r3/r4 slope attempt "stalled in compile")
+    # Lessons encoded here (one per round):
+    # - `blocks`/`controls` MUST be jit ARGUMENTS, not closure captures: a
+    #   closed-over array is embedded in the program as a CONSTANT and the
+    #   402 MB input made the remote-compile endpoint reject the upload
+    #   (HTTP 413 — diagnosed 2026-08-21, r4).
+    # - the repeat loop MUST NOT be one giant device program: the r4
+    #   fori_loop(4608 x 8-block-scan) slope program CRASHED the TPU
+    #   worker on degraded sessions ("TPU worker process crashed or
+    #   restarted", PROBE_POUNCE_r05 attempt 6).  Instead the ONE small
+    #   8-block program is dispatched R times from Python with the state
+    #   threading through — each result depends on the previous, so the
+    #   single final scalar fetch forces the whole chain.  Per-dispatch
+    #   overhead is part of the honest per-call cost (the normal
+    #   block_until_ready path times exactly the same dispatch+compute),
+    #   and the slope between two R values still cancels the constant
+    #   fetch cost.
     @jax.jit
+    def chain_once(state, acc, controls, blocks):
+        def body(s, blk):
+            s, out = rx.step(s, controls, blk)
+            # cheap data dependency on every output so nothing in the
+            # chain is dead-code-eliminated
+            return s, jnp.sum(out.audio)
+
+        st, sums = jax.lax.scan(body, state, blocks)
+        return st, acc + jnp.sum(sums) * jnp.float32(1e-6)
+
     def run_repeat(state, controls, blocks, R):
-        def rep(i, carry):
-            st, acc = carry
-
-            def body(s, blk):
-                s, out = rx.step(s, controls, blk)
-                # cheap data dependency on every output so nothing in
-                # the chain is dead-code-eliminated inside the loop
-                return s, jnp.sum(out.audio)
-
-            st, sums = jax.lax.scan(body, st, blocks)
-            return (st, acc + jnp.sum(sums) * jnp.float32(1e-6))
-
-        st, acc = jax.lax.fori_loop(0, R, rep,
-                                    (state, jnp.float32(0.0)))
+        st, acc = state, jnp.float32(0.0)
+        for _ in range(int(R)):
+            st, acc = chain_once(st, acc, controls, blocks)
         return acc
 
     # scale the repeat counts so total slope work is independent of the
-    # block count (the r5 slope path uses an 8-block program; the repeat
-    # deltas below give ~1.5-2 s of device work per slope at the last
-    # known healthy throughput — well above dispatch noise, well below
-    # the fetch timeout even on a 10x-degraded session)
+    # block count; the R_HI-R_LO delta gives ~0.7-2 s of device work at
+    # the last known healthy throughput — above dispatch noise, well
+    # below the fetch window even on a 10x-degraded session
     scale = max(1, 64 // nblocks)
     R_LO, R_HI = 512 * scale, 4608 * scale
     deadline = time.time() + float(
