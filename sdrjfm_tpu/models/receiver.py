@@ -690,8 +690,6 @@ class Receiver:
         demod, demod_state, carrier = demodulate_block(
             v, state.demod, cfg.decoder, cfg.fm_rate, shard_axis=shard_axis,
             defer_tail=sharded)
-        if taps is not None:
-            taps["demod"] = demod
 
         # --- squelch ---------------------------------------------------------
         squelch_state = state.squelch
@@ -703,6 +701,12 @@ class Receiver:
             demod, squelch_state = level_squelch(
                 demod, carrier, controls.squelch_level, self.squelch_cfg,
                 squelch_state, shard_axis=shard_axis)
+        if taps is not None:
+            # POST-squelch, like the reference's DEMODULATOR scope tap
+            # (the run loop overwrites demod with the squelched value at
+            # fm-processor.cpp:499-510 before the LF push at :607) —
+            # verified against the compiled reference oracle
+            taps["demod"] = demod
 
         # --- pilot recovery (+ fused RDS 57 kHz bandpass: both filter the
         # same demod block with the same overlap-save geometry, so one
