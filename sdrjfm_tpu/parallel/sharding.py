@@ -152,6 +152,122 @@ class FullyShardedReceiver:
         return self._step(state, controls, iq)
 
 
+class StationTimeShardedReceiver:
+    """BOTH parallel dimensions on one 2-D mesh: stations × time.
+
+    The mesh is `Mesh(devices.reshape(S, T), ('stations', 'time'))`: the
+    embarrassingly-parallel station axis (zero collectives, whole
+    stations per device group — models/multistation.py) composes with the
+    fully-sharded time axis (ppermute halos + distributed prefix
+    recurrences within each station's block — FullyShardedReceiver).
+    Each device holds `n_stations/S` stations' `block/T` time slice; all
+    collectives ride the 'time' axis only, so a TPU slice laid out with
+    'time' on the fast ICI dimension keeps the station axis free.
+
+    This is the band-scale production shape: identify/demodulate every
+    station of a wideband capture with the per-station latency of a
+    T-way-sharded chain.  Per-station outputs are numerically equivalent
+    (~1e-5) to the vmapped single-device run — same caveat as
+    FullyShardedReceiver (fp32 prefix reassociation), same capability
+    caps (rds off|block, no taps).
+    """
+
+    def __init__(self, rx: Receiver, mesh: Mesh,
+                 station_axis: str = "stations", time_axis: str = AXIS):
+        self.rx = rx
+        self.mesh = mesh
+        self.station_axis = station_axis
+        self.time_axis = time_axis
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.n_station_groups = axes[station_axis]
+        n_t = axes[time_axis]
+        cfg = rx.cfg
+        assert cfg.rds in ("off", "block") and not cfg.emit_taps
+        assert cfg.block_fm % (n_t * cfg.fm_hop) == 0
+        assert (cfg.block_fm // n_t) % rx.pss_cfg.subblock == 0
+        self.iq_sharding = NamedSharding(mesh, P(time_axis))
+        self.station_sharding = NamedSharding(mesh, P(station_axis))
+        self.replicated = NamedSharding(mesh, P())
+
+        def one_station(state, controls, iq_local):
+            # the FullyShardedReceiver body, collectives on 'time'
+            v_local, (dc, in_tail, t1, t2, _, _) = rx.front_end(
+                state, controls, iq_local, shard_axis=time_axis,
+                defer_dc=True)
+            tails = tuple(t[None] if t is not None else None
+                          for t in (in_tail, t1, t2))
+            fe_updates = dict(
+                n0_mod=(state.n0_mod + cfg.block_in) % cfg.input_rate,
+                rf_dc=dc, input_filt=None, band1=None, band2=None)
+            new_state, out = rx.fm_chain(state, controls, v_local,
+                                         fe_updates, shard_axis=time_axis)
+            return new_state, out, tails
+
+        # station axis via vmap inside the shard_map body: collectives
+        # inside the vmap name only the mesh 'time' axis, so each
+        # station's halos/reductions stay within its own time group
+        vbody = jax.vmap(one_station, in_axes=(0, 0, None))
+
+        from ..models.receiver import Output
+        S, T = station_axis, time_axis
+        out_spec = Output(audio=P(S, T), meta=P(S), rds=P(S), taps=P(S),
+                          meta_vec=P(S), audio_i16=P(S, T))
+        self._body = relaxed_shard_map(
+            vbody, mesh=mesh,
+            in_specs=(P(S), P(S), P(T)),
+            out_specs=(P(S), out_spec, P(S, T)))
+
+        def step(states, controls, iq):
+            new_states, out, (in_tails, tails1, tails2) = self._body(
+                states, controls, iq)
+            new_states = new_states._replace(
+                input_filt=(in_tails[:, -1] if cfg.input_filter
+                            else states.input_filt),
+                band1=tails1[:, -1], band2=tails2[:, -1])
+            return new_states, out
+
+        self._step = jax.jit(
+            step, in_shardings=(self.station_sharding, self.station_sharding,
+                                self.iq_sharding))
+
+    def pad_offsets(self, offsets_hz):
+        offsets = list(offsets_hz)
+        pad = (-len(offsets)) % self.n_station_groups
+        return offsets + [0] * pad
+
+    def init_states(self, n_stations: int):
+        assert n_stations % self.n_station_groups == 0
+        st = self.rx.init_state()
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_stations,) + x.shape),
+            st)
+        return jax.device_put(states, self.station_sharding)
+
+    def controls_for(self, offsets_hz):
+        # reuse the per-station Controls builder (broadcasts every leaf
+        # along the station axis)
+        from ..models.multistation import MultiStationReceiver
+        assert len(offsets_hz) % self.n_station_groups == 0
+        msr = MultiStationReceiver.__new__(MultiStationReceiver)
+        msr.rx = self.rx
+        return jax.device_put(msr.controls_for(offsets_hz),
+                              self.station_sharding)
+
+    def step(self, states, controls, iq):
+        iq = jax.device_put(iq, self.iq_sharding)
+        return self._step(states, controls, iq)
+
+
+def make_mesh_2d(n_stations: int, n_time: int,
+                 station_axis: str = "stations",
+                 time_axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    assert len(devs) >= n_stations * n_time
+    grid = np.asarray(devs[: n_stations * n_time]).reshape(n_stations,
+                                                           n_time)
+    return Mesh(grid, (station_axis, time_axis))
+
+
 class ShardedReceiver:
     """Receiver step partitioned over a 1-D time mesh."""
 
