@@ -338,12 +338,6 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
             st, acc = chain_once(st, acc, controls, blocks)
         return acc
 
-    # scale the repeat counts so total slope work is independent of the
-    # block count; the R_HI-R_LO delta gives ~0.7-2 s of device work at
-    # the last known healthy throughput — above dispatch noise, well
-    # below the fetch window even on a 10x-degraded session
-    scale = max(1, 64 // nblocks)
-    R_LO, R_HI = 512 * scale, 4608 * scale
     deadline = time.time() + float(
         os.environ.get("BENCH_FORCED_BUDGET_S", "1500")) - 60.0
 
@@ -377,11 +371,27 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
             return None
         return time.time() - t0
 
+    # ADAPTIVE repeat counts (r5): on half-healthy sessions the transfer
+    # pathology can degrade per-dispatch enqueue from ~150 us to ~0.5-1 s
+    # (CLAUDE.md axon notes; attempt 8 timed out enqueueing a fixed
+    # R_LO=512).  A coarse 4->32 slope estimates the per-repeat cost,
+    # then the confirmation slope is sized to ~60-90 s of extra work.
+    dt_c1 = timed(4)
+    dt_c2 = timed(32) if dt_c1 is not None else None
+    if dt_c1 is None or dt_c2 is None or dt_c2 <= dt_c1:
+        box["why"] = (why + "; D2H-forced coarse slope failed "
+                            f"(dt_4={dt_c1}, dt_32={dt_c2}, "
+                            f"fetch_err={terr.get('err')})")
+        return
+    r_est = (dt_c2 - dt_c1) / 28.0
+    dR = int(max(64, min(4096, 75.0 / max(r_est, 1e-5))))
+    R_LO, R_HI = 32, 32 + dR
+
     dt_lo = timed(R_LO)
     dt_hi = timed(R_HI) if dt_lo is not None else None
     if dt_lo is None or dt_hi is None or dt_hi <= dt_lo:
         box["why"] = (why + "; D2H-forced slope timing failed "
-                            f"(dt_lo={dt_lo}, dt_hi={dt_hi}, "
+                            f"(dt_lo={dt_lo}, dt_hi={dt_hi}, dR={dR}, "
                             f"fetch_err={terr.get('err')})")
         return
     t_rep = (dt_hi - dt_lo) / (R_HI - R_LO)

@@ -412,3 +412,33 @@ class TestAmAndSquelch:
         a, b = int(2.6 * C.FM_RATE), int(3.6 * C.FM_RATE)
         assert rms(ref["demod"], a, b) == 0.0
         assert rms(mine, a, b) < 1e-6, rms(mine, a, b)
+
+
+class TestPssConvergence:
+    def test_both_converge_to_injected_subcarrier_offset(self):
+        """The DO_STEREO_SEPARATION_TEST scenario (fm-constants.h:36-42)
+        without the compile switch: inject a 0.2 rad (11.46 deg) phase
+        error on the 38 kHz subcarrier and both PSS loops must converge
+        to correct it — the reference's own PerfectStereoSeparation and
+        the TPU sub-block Costas land within 1 degree of each other AND
+        of the injected value."""
+        build_oracle()
+        n_fm = 6 * C.FM_RATE
+        t = np.arange(n_fm) / C.FM_RATE
+        mpx = synth.synth_mpx(0.6 * np.sin(2 * np.pi * 1000.0 * t),
+                              0.6 * np.sin(2 * np.pi * 440.0 * t),
+                              synth.MPXParams(rds_level=0.0,
+                                              pss_phase_error=0.2))
+        iq = synth.fm_modulate(mpx, C.FM_RATE).astype(np.complex64)
+        o = ReferenceOracle(rds_mode=0, decoder=3, audio_filter_hz=0)
+        ref = o.process(iq)
+        o.close()
+        cfg = ReceiverConfig(block_fm=32768, frontend="reference",
+                             decoder="mixed", audio_filter_hz=0, rds="off")
+        res = run_offline(Receiver(cfg), iq)
+        ref_deg = float(ref["pss"][-1]) / np.pi * 180.0
+        mine_deg = res.meta[-1]["pss_phase_deg"]
+        injected_deg = -0.2 / np.pi * 180.0      # correction = -error
+        assert abs(ref_deg - mine_deg) < 1.0, (ref_deg, mine_deg)
+        assert abs(ref_deg - injected_deg) < 1.0, (ref_deg, injected_deg)
+        assert abs(mine_deg - injected_deg) < 1.0, (mine_deg, injected_deg)
