@@ -165,6 +165,22 @@ def main():
                speedup_vs_vmap_1dev=round(speedup, 3),
                efficiency=round(speedup / n, 3))
 
+    # --- 2-D stations x time mesh (both parallel dimensions) -------------
+    if n_max >= 4 and n_max % 2 == 0:
+        from sdrjfm_tpu.parallel.sharding import (StationTimeShardedReceiver,
+                                                  make_mesh_2d)
+        n_t = n_max // 2
+        if (cfg.block_fm % (n_t * cfg.fm_hop) == 0
+                and (cfg.block_fm // n_t) % rx.pss_cfg.subblock == 0):
+            st2 = StationTimeShardedReceiver(rx, make_mesh_2d(2, n_t))
+            offsets2 = offsets[:2] if len(offsets) >= 2 else [0, 100_000]
+            iq2_blocks = [jax.device_put(jnp.asarray(b), st2.iq_sharding)
+                          for b in blocks_np]
+            dt = _throughput(st2.step, st2.init_states(2),
+                             st2.controls_for(offsets2), iq2_blocks,
+                             args.reps)
+            record(f"stations2_time{n_t}_2d", dt, n_max, stations=2)
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"block_fm": cfg.block_fm, "blocks": nb,
