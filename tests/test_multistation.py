@@ -192,3 +192,37 @@ def test_sharded_identify_end_to_end():
         sync.push_bits(res["rds_bits"], grp, on_group=dec.decode)
         assert dec.result.pi_code == st["pi"]
         assert dec.result.station_label.strip() == st["name"]
+
+
+def test_scan_dispatch_equals_block_loop():
+    """demodulate_stations' one-dispatch lax.scan path == the per-block
+    loop on both the vmap and the stations-mesh configurations: identical
+    RDS bits, audio to float tolerance (the scan body compiles with
+    different fusion than the standalone step — same caveat as the
+    chunked stream runner)."""
+    from sdrjfm_tpu.models.multistation import demodulate_stations
+    from sdrjfm_tpu.parallel.sharding import make_mesh
+
+    iq = make_capture(seconds=1.5)
+    rx = Receiver(ReceiverConfig(block_fm=32768, rds="block",
+                                 audio_filter_hz=15000))
+    offsets = [st["offset"] for st in STATIONS]
+    for mesh in (None, make_mesh(axis="stations")):
+        a = demodulate_stations(rx, iq, offsets, mesh=mesh, scan=True)
+        b = demodulate_stations(rx, iq, offsets, mesh=mesh, scan=False)
+        for ra, rb, st in zip(a, b, STATIONS):
+            np.testing.assert_allclose(ra["audio"], rb["audio"],
+                                       atol=2e-5)
+            # bit STREAMS may differ by a boundary tick (a marginal
+            # bit-clock decision lands on the other side of a block
+            # edge under the scan body's different fusion); the decoded
+            # identity must be identical and error-free on both drives
+            for bits in (ra["rds_bits"], rb["rds_bits"]):
+                sync = BlockSynchronizer()
+                dec = GroupDecoder()
+                sync.push_bits(bits, Group(), on_group=dec.decode)
+                assert sync.num_crc_errors == 0
+                assert dec.result.pi_code == st["pi"]
+                assert dec.result.station_label.strip() == st["name"]
+            for k, v in ra["meta"].items():
+                assert np.isclose(v, rb["meta"][k], atol=1e-4), (k, v)
