@@ -442,3 +442,28 @@ class TestPssConvergence:
         assert abs(ref_deg - mine_deg) < 1.0, (ref_deg, mine_deg)
         assert abs(ref_deg - injected_deg) < 1.0, (ref_deg, injected_deg)
         assert abs(mine_deg - injected_deg) < 1.0, (mine_deg, injected_deg)
+
+
+class TestIndependentModulatorVsReference:
+    def test_reference_decodes_the_independent_capture(self):
+        """Close the evidence triangle: the INDEPENDENT second oracle
+        (tests/independent_modulator.py, re-derived from the published
+        standards, sharing no code with the package) must decode on the
+        REFERENCE'S own compiled receiver — spec-modulator -> real
+        receiver, no framework code in either role."""
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent))
+        import independent_modulator as im
+
+        build_oracle()
+        iq = im.make_capture(seconds=4.0).astype(np.complex64)
+        o = ReferenceOracle(rds_mode=1, decoder=3, audio_filter_hz=0)
+        o.process(iq)
+        rds = o.rds_status()
+        o.close()
+        assert rds["pilot_locked"]
+        assert rds["pi"] == 0xA1B2
+        assert rds["station"] == "INDEPMOD"
+        assert rds["ber"] == 0.0
+        assert rds["groups"] > 20
