@@ -73,6 +73,20 @@ def main():
             f.write(json.dumps(entry) + "\n")
         print(json.dumps(entry), flush=True)
 
+        if (rec is not None and not rec.get("stale")
+                and rec.get("session_degraded")):
+            # the slope concluded but measured a transfer-pathology
+            # session (~0.1-1 s per dispatch), not the chain — record it
+            # and keep hunting for a healthy session
+            deg = os.path.join(ROOT,
+                               f"BENCH_DEGRADED_r{args.round:02d}.jsonl")
+            with open(deg, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            commit([os.path.basename(deg), os.path.basename(log_path)],
+                   "Slope concluded on a transfer-degraded session "
+                   f"({rec.get('value')}x apparent; keep hunting)")
+            rec = None
+
         if rec is not None and not rec.get("stale"):
             fresh = os.path.join(ROOT, f"BENCH_FRESH_r{args.round:02d}.json")
             with open(fresh, "w") as f:
