@@ -467,3 +467,81 @@ class TestIndependentModulatorVsReference:
         assert rds["station"] == "INDEPMOD"
         assert rds["ber"] == 0.0
         assert rds["groups"] > 20
+
+
+class TestTuningAndLock:
+    def test_lo_offset_retune_matches(self):
+        """Pure LO-offset retune (radio.cpp:1056-1066): a station at
+        +300 kHz demodulated via the NCO by both receivers — the exact
+        integer NCO against the reference's table oscillator."""
+        import jax.numpy as jnp
+        from sdrjfm_tpu.models.receiver import default_controls
+
+        build_oracle()
+        n_fm = 4 * C.FM_RATE
+        t = np.arange(n_fm) / C.FM_RATE
+        mpx = synth.synth_mpx(0.6 * np.sin(2 * np.pi * 1000.0 * t),
+                              0.6 * np.sin(2 * np.pi * 440.0 * t),
+                              synth.MPXParams(rds_level=0.0))
+        iq = synth.fm_modulate(mpx, C.FM_RATE,
+                               carrier_offset_hz=300_000) \
+            .astype(np.complex64)
+        o = ReferenceOracle(rds_mode=0, decoder=3, audio_filter_hz=0,
+                            lo_freq=300_000)
+        ref = o.process(iq)
+        o.close()
+        cfg = ReceiverConfig(block_fm=32768, frontend="reference",
+                             decoder="mixed", audio_filter_hz=0,
+                             rds="off", emit_taps=True)
+        ctl = default_controls()._replace(
+            lo_freq_hz=jnp.asarray(300_000, jnp.int32))
+        res = run_offline(Receiver(cfg), iq, controls=ctl,
+                          collect_taps=True)
+        mine = np.asarray(res.taps["demod"]).ravel()
+        snr, g = _snr_gain(ref["demod"], mine,
+                           slice(2 * C.FM_RATE, 4 * C.FM_RATE))
+        assert snr > 60.0, f"LO-offset demod SNR {snr:.1f} dB"
+        assert abs(g - 1.0) < 1e-3
+
+    def test_pilot_lock_transitions_match(self):
+        """Pilot dropout scenario (2 s pilot / 1 s none / 2 s pilot):
+        the lock detector's 0.07-for-500 ms rule (pilot-recover.cpp:
+        54-80) transitions at the same times on both receivers, to
+        block granularity."""
+        build_oracle()
+
+        def seg(pilot_level, secs):
+            n = int(secs * C.FM_RATE)
+            tt = np.arange(n) / C.FM_RATE
+            return synth.synth_mpx(
+                0.5 * np.sin(2 * np.pi * 1000.0 * tt),
+                0.5 * np.sin(2 * np.pi * 440.0 * tt),
+                synth.MPXParams(rds_level=0.0, pilot_level=pilot_level))
+
+        mpx = np.concatenate([seg(0.1, 2.0), seg(0.0, 1.0),
+                              seg(0.1, 2.0)])
+        iq = synth.fm_modulate(mpx, C.FM_RATE).astype(np.complex64)
+        o = ReferenceOracle(rds_mode=0, decoder=3, audio_filter_hz=0)
+        ref = o.process(iq)
+        o.close()
+        cfg = ReceiverConfig(block_fm=32768, frontend="reference",
+                             decoder="mixed", audio_filter_hz=0,
+                             rds="off")
+        res = run_offline(Receiver(cfg), iq)
+        block_s = cfg.block_fm / C.FM_RATE
+        # reference lock flag at each my-block end
+        ref_at_block = [bool(ref["locked"][min(
+            int((b + 1) * cfg.block_fm) - 1, len(ref["locked"]) - 1)])
+            for b in range(len(res.meta))]
+        mine = [bool(m["pilot_locked"]) for m in res.meta]
+        # agree everywhere except at most 1 block around each of the 3
+        # transitions (measured: lock 0.507 s vs block 2, unlock 2.025 s
+        # vs block 11, relock 3.503 s vs block 20 — all within a block)
+        disagree = sum(a != b for a, b in zip(ref_at_block, mine))
+        assert disagree <= 3, (ref_at_block, mine)
+        # and the coarse shape is right on both: locked mid-segment 1,
+        # unlocked mid-dropout, locked again at the end
+        for flags in (ref_at_block, mine):
+            assert flags[int(1.5 / block_s)]
+            assert not flags[int(2.8 / block_s)]
+            assert flags[-1]
