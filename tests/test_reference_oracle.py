@@ -322,7 +322,8 @@ class TestRdsDecoderModes:
     """The reference's per-sample RDS decoders 2 and 3 vs the TPU scan
     re-expressions — identical decoded identity at BER 0."""
 
-    @pytest.mark.parametrize("ref_mode,mine", [(2, "scan2"), (3, "scan3")])
+    @pytest.mark.parametrize("ref_mode,mine", [(1, "scan1"), (2, "scan2"),
+                                               (3, "scan3")])
     def test_group_parity(self, capture, ref_mode, mine):
         from sdrjfm_tpu.rds.live import LiveRDSDecoder
 
