@@ -65,6 +65,8 @@ def _load():
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.oracle_pilot_strength.restype = ctypes.c_float
     lib.oracle_pilot_strength.argtypes = [ctypes.c_void_p]
+    lib.oracle_dc_component.restype = ctypes.c_float
+    lib.oracle_dc_component.argtypes = [ctypes.c_void_p]
     lib.oracle_rds_status.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -148,6 +150,8 @@ class ReferenceOracle:
             "pilot_strength": self._lib.oracle_pilot_strength(self._h),
             "pss_established": bool(
                 self._lib.oracle_pss_established(self._h)),
+            "dc_component": float(
+                self._lib.oracle_dc_component(self._h)),
         }
 
     def close(self):

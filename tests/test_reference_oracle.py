@@ -546,3 +546,38 @@ class TestTuningAndLock:
             assert flags[int(1.5 / block_s)]
             assert not flags[int(2.8 / block_s)]
             assert flags[-1]
+
+
+class TestAfcObservable:
+    def test_demod_dc_component_tracks_offset(self):
+        """The AFC's input (the demodulator's DC tracker,
+        fm-demodulator.cpp:197-198 / get_DcComponent — radio.cpp's AFC
+        loop :1786-1809 closes around it): on a 5 kHz off-tuned carrier
+        both receivers read the same settled DC component; on-tune both
+        read ~0."""
+        build_oracle()
+        n_fm = 4 * C.FM_RATE
+        t = np.arange(n_fm) / C.FM_RATE
+        mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 1000.0 * t),
+                              0.5 * np.sin(2 * np.pi * 440.0 * t),
+                              synth.MPXParams(rds_level=0.0))
+        cfg = ReceiverConfig(block_fm=32768, frontend="reference",
+                             decoder="mixed", audio_filter_hz=0,
+                             rds="off")
+        for off_hz, expect_near_zero in ((5000, False), (0, True)):
+            iq = synth.fm_modulate(mpx, C.FM_RATE,
+                                   carrier_offset_hz=off_hz) \
+                .astype(np.complex64)
+            o = ReferenceOracle(rds_mode=0, decoder=3, audio_filter_hz=0)
+            o.process(iq)
+            ref_dc = o.rds_status()["dc_component"]
+            o.close()
+            res = run_offline(Receiver(cfg), iq)
+            mine_dc = res.meta[-1]["dc_if"]
+            if expect_near_zero:
+                assert abs(ref_dc) < 0.01 and abs(mine_dc) < 0.01, \
+                    (ref_dc, mine_dc)
+            else:
+                assert ref_dc > 0.1 and mine_dc > 0.1, (ref_dc, mine_dc)
+                assert abs(mine_dc - ref_dc) < 0.05 * abs(ref_dc), \
+                    (ref_dc, mine_dc)
