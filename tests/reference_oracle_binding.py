@@ -67,6 +67,9 @@ def _load():
     lib.oracle_pilot_strength.argtypes = [ctypes.c_void_p]
     lib.oracle_dc_component.restype = ctypes.c_float
     lib.oracle_dc_component.argtypes = [ctypes.c_void_p]
+    lib.oracle_af.restype = ctypes.c_int
+    lib.oracle_af.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_int), ctypes.c_int]
     lib.oracle_rds_status.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -152,7 +155,13 @@ class ReferenceOracle:
                 self._lib.oracle_pss_established(self._h)),
             "dc_component": float(
                 self._lib.oracle_dc_component(self._h)),
+            "af_khz": self._af(),
         }
+
+    def _af(self):
+        buf = (ctypes.c_int * 32)()
+        n = self._lib.oracle_af(self._h, buf, 32)
+        return [int(buf[i]) for i in range(n)]
 
     def close(self):
         if self._h:

@@ -581,3 +581,38 @@ class TestAfcObservable:
                 assert ref_dc > 0.1 and mine_dc > 0.1, (ref_dc, mine_dc)
                 assert abs(mine_dc - ref_dc) < 0.05 * abs(ref_dc), \
                     (ref_dc, mine_dc)
+
+
+class TestAlternativeFrequencies:
+    def test_af_decode_matches(self):
+        """0A groups carrying an AF pair (98.0/98.2 MHz): both group
+        decoders surface the same frequencies (reference emits
+        af*100+87500 kHz via setAFDisplay, rds-groupdecoder.cpp:208-217)."""
+        build_oracle()
+        bits = []
+        af_pair = (105 << 8) | 107      # 98.0 / 98.2 MHz
+        for _ in range(10):
+            for seg in range(4):
+                bits.extend(encode.group_0a(
+                    0x10F0, 10, seg, "TPU FM  "[2 * seg:2 * seg + 2],
+                    af_pair=af_pair))
+        syms = encode.differential_encode(np.asarray(bits, np.int8))
+        n = 4 * C.FM_RATE
+        t = np.arange(n) / C.FM_RATE
+        mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 1000.0 * t),
+                              0.5 * np.sin(2 * np.pi * 440.0 * t),
+                              synth.MPXParams(rds_level=0.08),
+                              rds_bits=syms)
+        iq = synth.fm_modulate(mpx, C.FM_RATE).astype(np.complex64)
+        o = ReferenceOracle(rds_mode=1, decoder=3, audio_filter_hz=0)
+        o.process(iq)
+        ref = o.rds_status()
+        o.close()
+        assert ref["af_khz"] == [98000, 98200], ref["af_khz"]
+        res = run_offline(Receiver(ReceiverConfig(
+            block_fm=32768, frontend="reference", decoder="mixed",
+            audio_filter_hz=0, rds="block")), iq)
+        dec = LiveRDSDecoder()
+        dec.feed(np.asarray(res.rds_bits).ravel())
+        mine = dec.report()["af_frequencies_khz"]
+        assert [int(round(f * 1000)) for f in mine] == [98000, 98200], mine
