@@ -616,3 +616,47 @@ class TestAlternativeFrequencies:
         dec.feed(np.asarray(res.rds_bits).ravel())
         mine = dec.report()["af_frequencies_khz"]
         assert [int(round(f * 1000)) for f in mine] == [98000, 98200], mine
+
+
+class TestLongRunStability:
+    def test_no_drift_over_16_seconds(self):
+        """Long-capture A/B with time-varying program content (slow AM on
+        the tones keeps the DC/AFC trackers active): agreement with the
+        reference must NOT degrade over time — guards against slow state
+        drift between the block-carry formulation and the reference's
+        per-sample recursion.  Measured: ~53 dB in every window."""
+        build_oracle()
+        sec = 16
+        n_fm = sec * C.FM_RATE
+        t = np.arange(n_fm) / C.FM_RATE
+        left = 0.6 * np.sin(2 * np.pi * 1000.0 * t) \
+            * (0.6 + 0.4 * np.sin(2 * np.pi * 0.3 * t))
+        right = 0.6 * np.sin(2 * np.pi * 440.0 * t) \
+            * (0.6 + 0.4 * np.cos(2 * np.pi * 0.2 * t))
+        bits = encode.make_bitstream(pi=0x10F0, station="TPU FM",
+                                     radiotext="LONG RUN\r", repeats=24)
+        syms = encode.differential_encode(bits)
+        mpx = synth.synth_mpx(left, right,
+                              synth.MPXParams(rds_level=0.07),
+                              rds_bits=syms)
+        iq = synth.fm_modulate(mpx, C.FM_RATE).astype(np.complex64)
+        o = ReferenceOracle(rds_mode=1, decoder=3, audio_filter_hz=0)
+        ref = o.process(iq)
+        st = o.rds_status()
+        o.close()
+        res = run_offline(Receiver(ReceiverConfig(
+            block_fm=32768, frontend="reference", decoder="mixed",
+            audio_filter_hz=0, rds="block", emit_taps=True)), iq,
+            collect_taps=True)
+        mine = np.asarray(res.taps["demod"]).ravel()
+
+        def win_snr(lo_s, hi_s):
+            snr, _ = _snr_gain(ref["demod"], mine,
+                               slice(lo_s * C.FM_RATE, hi_s * C.FM_RATE))
+            return snr
+
+        early, mid, late = win_snr(3, 6), win_snr(8, 11), win_snr(13, 16)
+        for w, name in ((early, "early"), (mid, "mid"), (late, "late")):
+            assert w > 45.0, f"{name} window SNR {w:.1f} dB"
+        assert late > early - 3.0, (early, late)
+        assert st["ber"] == 0.0 and st["groups"] > 150
