@@ -102,14 +102,24 @@ _IQ_CACHE = {}
 
 
 def _synth_capture(block_in, nblocks):
-    """64 distinct blocks of synthesized stereo+RDS IQ (cached: the host
-    synth over ~100M samples takes minutes and both wire formats share
-    it — only the final integer conversion differs)."""
+    """64 distinct blocks of synthesized stereo+RDS IQ.
+
+    Cached twice: in-process (both wire formats share the float capture —
+    only the final integer conversion differs) AND on disk under /tmp —
+    the ~100M-sample host synth takes minutes, and the probe_pounce loop
+    runs bench.py as a FRESH subprocess per attempt (each would re-pay
+    the synth; the capture is deterministic, so the .npy is too)."""
     from sdrjfm_tpu import constants as C
     from sdrjfm_tpu.io import synth
 
     key = (block_in, nblocks)
     if key not in _IQ_CACHE:
+        disk = f"/tmp/sdrjfm_bench_capture_{block_in}_{nblocks}_v1.npy"
+        try:
+            _IQ_CACHE[key] = np.load(disk)
+            return _IQ_CACHE[key]
+        except (OSError, ValueError):
+            pass
         n_fm = block_in // 12 * nblocks
         t = np.arange(n_fm) / C.FM_RATE
         left = 0.6 * np.sin(2 * np.pi * 1000.0 * t)
@@ -119,6 +129,11 @@ def _synth_capture(block_in, nblocks):
         mpx = synth.synth_mpx(left, right, synth.MPXParams(), rds_bits=bits)
         _IQ_CACHE[key] = synth.fm_modulate(mpx, C.FM_RATE)[: block_in
                                                            * nblocks]
+        try:
+            np.save(disk + ".tmp.npy", _IQ_CACHE[key])
+            os.replace(disk + ".tmp.npy", disk)
+        except OSError:
+            pass
     return _IQ_CACHE[key]
 
 
