@@ -438,6 +438,47 @@ def _forced_attempt(box, jax, jnp, C, rx, state, controls, blocks, nblocks,
             f"(healthy sessions dispatch this program in ~170 us, "
             f"BENCH_r{rnd:02d} measured {last}x) — this record reflects "
             "THIS session's dispatch health, not compute capability")
+        # decomposition probe: r5 sessions measured a rock-stable
+        # 1.764 s/dispatch, which smells like FIXED per-RPC overhead.
+        # One dispatch of a 16x-longer scan (input tiled ON DEVICE — no
+        # extra upload) separates the hypotheses: if it also takes
+        # ~1.76 s the overhead is fixed and compute is healthy
+        # (amortized_x ~ 16x the apparent number and rising); if it
+        # takes ~16x longer the session's compute path itself is slow.
+        TILE = 16
+
+        @jax.jit
+        def chain_tiled(state, controls, blocks):
+            big = jnp.tile(blocks, (TILE, 1, 1))
+
+            def body(s, blk):
+                s, out = rx.step(s, controls, blk)
+                return s, jnp.sum(out.audio)
+
+            st, sums = jax.lax.scan(body, state, big)
+            return jnp.sum(sums) * jnp.float32(1e-6)
+
+        if time.time() < deadline - 60:
+            t0 = time.time()
+            v = _fetch_with_timeout(
+                chain_tiled(state, controls, blocks),
+                min(max(60.0, 3 * TILE * t_rep), deadline - time.time()))
+            if v is not None and np.isfinite(float(v)):
+                # second call: the first paid the tiled-program compile
+                t0 = time.time()
+                v = _fetch_with_timeout(
+                    chain_tiled(state, controls, blocks),
+                    min(max(60.0, 3 * TILE * t_rep),
+                        max(60.0, deadline - time.time())))
+                if v is not None:
+                    dt_big = time.time() - t0
+                    extra["tiled_probe"] = dict(
+                        tiles=TILE, dt_s=round(dt_big, 3),
+                        x_realtime=round(TILE * nblocks * rx.cfg.block_in
+                                         / dt_big / C.INPUT_RATE, 1),
+                        verdict=("fixed-overhead (compute healthy)"
+                                 if dt_big < 3 * t_rep else
+                                 "work-proportional (compute degraded)"))
     box["emit"] = ((x,), extra)
 
 
