@@ -36,7 +36,7 @@ def _build_rx_parser(sub):
     p.add_argument("--iq", required=True,
                    help="input IQ: wav capture (I=left, Q=right), a "
                         "headerless raw file (rtl_sdr/hackrf convention; "
-                        "needs --iq-format u8 or i16), or a live "
+                        "needs --iq-format u8/i8/i16), or a live "
                         "rtl_tcp://host:port network SDR (u8 stream; "
                         "implies --follow), or '-'/a FIFO for a headerless "
                         "stream piped from any SDR tool (needs --iq-format; "
@@ -53,7 +53,7 @@ def _build_rx_parser(sub):
                         "block_in*ratio is integral — 12288*k covers the "
                         "common rates)")
     p.add_argument("--iq-format", default="auto",
-                   choices=["auto", "c64", "i16", "u8"],
+                   choices=["auto", "c64", "i16", "i8", "u8"],
                    help="wire format fed to the device: i16/u8 keep integer "
                         "captures raw (half / quarter the input bytes; "
                         "i16-from-wav is bit-identical to c64); auto picks "
@@ -254,7 +254,7 @@ def _build_scan_parser(sub):
                         "the hardware across the whole FM band "
                         "(radio.cpp:1115-1158)")
     p.add_argument("--iq-format", default="auto",
-                   choices=["auto", "c64", "i16", "u8"],
+                   choices=["auto", "c64", "i16", "i8", "u8"],
                    help="raw-capture wire format (wav inputs: auto)")
     p.add_argument("--grid", type=int, default=100_000,
                    help="scan grid in Hz (the FM band raster)")
@@ -497,23 +497,25 @@ def cmd_rx(args) -> int:
             # stdin / FIFO: headerless stream from any external SDR tool
             # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming
             # only
-            if iq_fmt not in ("u8", "i16"):
-                print("pipe/stdin input: pass --iq-format u8 or i16",
+            if iq_fmt not in ("u8", "i8", "i16"):
+                print("pipe/stdin input: pass --iq-format u8, i8 or i16",
                       file=sys.stderr)
                 return 2
             args.follow = True
             rate = C.INPUT_RATE
         elif not is_wav:
             # headerless raw capture (rtl_sdr u8 / hackrf i16 convention)
-            if iq_fmt not in ("u8", "i16"):
-                print("raw (non-wav) capture: pass --iq-format u8 or i16",
+            if iq_fmt not in ("u8", "i8", "i16"):
+                print("raw (non-wav) capture: pass --iq-format u8, i8 "
+                      "(hackrf_transfer) or i16",
                       file=sys.stderr)
                 return 2
             rate = C.INPUT_RATE
             if not args.follow:
                 iq = read_iq_raw(args.iq, iq_fmt)
-        elif iq_fmt == "u8":
-            print("--iq-format u8 applies to raw captures; wav inputs use "
+        elif iq_fmt in ("u8", "i8"):
+            print(f"--iq-format {iq_fmt} applies to raw captures; wav "
+                  "inputs use "
                   "auto/c64/i16", file=sys.stderr)
             return 2
         elif args.follow:

@@ -131,6 +131,15 @@ def iq_to_i16(iq: np.ndarray) -> np.ndarray:
                     axis=1).clip(-32768, 32767).astype(np.int16)
 
 
+def iq_to_i8(iq: np.ndarray) -> np.ndarray:
+    """Quantize complex IQ to the i8 wire format ([n, 2] int8, the hackrf
+    handler's (v)/128 convention inverted, hackrf-handler.cpp:360-365 —
+    hackrf_transfer raw captures are signed bytes)."""
+    return np.stack([np.round(iq.real * 128.0),
+                     np.round(iq.imag * 128.0)],
+                    axis=1).clip(-128, 127).astype(np.int8)
+
+
 def iq_to_u8(iq: np.ndarray) -> np.ndarray:
     """Quantize complex IQ to the u8 wire format ([n, 2] uint8, the rtlsdr
     handler's (v-127)/128 convention inverted)."""

@@ -169,11 +169,12 @@ def read_iq_raw(path: str, fmt: str):
     """Read a headerless interleaved-IQ capture (the rtl_sdr/hackrf_transfer
     file convention — raw u8 or i16 pairs, no container).
 
-    fmt: 'u8' (rtl_sdr) or 'i16' (e.g. hackrf, airspy raw dumps).
+    fmt: 'u8' (rtl_sdr), 'i8' (hackrf_transfer — SIGNED bytes,
+    hackrf-handler.cpp:360-365) or 'i16' (e.g. airspy/sdr# raw dumps).
     Returns iq [n, 2] in the native dtype, ready for the matching
     ReceiverConfig.iq_format.
     """
-    dt = {"u8": np.uint8, "i16": "<i2"}[fmt]
+    dt = {"u8": np.uint8, "i8": np.int8, "i16": "<i2"}[fmt]
     x = np.fromfile(path, dtype=dt)
     n = (len(x) // 2) * 2
     return x[:n].reshape(-1, 2)

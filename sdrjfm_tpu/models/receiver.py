@@ -95,7 +95,9 @@ class ReceiverConfig:
     # wire format of the IQ block fed to step().  The chain is HBM-bound on
     # reading the 2.304 MS/s input, so narrow native formats are the main
     # throughput lever: 'c64' [T] complex64; 'i16' [T,2] int16 (16-bit wav
-    # captures, scaled /32768 like the reference filereader); 'u8' [T,2]
+    # captures, scaled /32768 like the reference filereader); 'i8' [T,2]
+    # int8 ((v)/128, the hackrf wire format, hackrf-handler.cpp:360-365 —
+    # hackrf_transfer raw captures are signed bytes); 'u8' [T,2]
     # uint8 ((v-127)/128, the rtlsdr handler's conversion,
     # rtlsdr-handler.cpp:285-294).  Conversion happens on-device, fused into
     # the first elementwise stage.
@@ -563,6 +565,11 @@ class Receiver:
         elif cfg.iq_format == "u8":
             re = (iq[:, 0].astype(jnp.float32) - 127.0) * (1.0 / 128.0)
             im = (iq[:, 1].astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+        elif cfg.iq_format == "i8":
+            # hackrf wire format: SIGNED 8-bit pairs /128
+            # (hackrf-handler.cpp:360-365)
+            re = iq[:, 0].astype(jnp.float32) * (1.0 / 128.0)
+            im = iq[:, 1].astype(jnp.float32) * (1.0 / 128.0)
         else:
             raise ValueError(f"unknown iq_format {cfg.iq_format!r}")
         x = jax.lax.complex(re * controls.input_lgain,

@@ -638,15 +638,16 @@ class NativePipeSource:
     def __init__(self, path: str, fmt: str, rate: int = 2_304_000,
                  ring_frames: int = 1 << 22, drop_on_full: bool = False):
         self._lib = load_library()
-        if fmt not in ("u8", "i16"):
-            raise ValueError("pipe stream needs fmt='u8' or 'i16'")
+        if fmt not in ("u8", "i8", "i16"):
+            raise ValueError("pipe stream needs fmt='u8', 'i8' or 'i16'")
         self._h = self._lib.sdr_raw_pipe_open(
-            str(path).encode(), ring_frames, 1 if fmt == "u8" else 2,
+            str(path).encode(), ring_frames, 2 if fmt == "i16" else 1,
             rate, int(drop_on_full))
         if not self._h:
             raise IOError(f"cannot open pipe source {path}")
         self.fmt = fmt
-        self._dtype = np.uint8 if fmt == "u8" else np.int16
+        self._dtype = {"u8": np.uint8, "i8": np.int8,
+                       "i16": np.int16}[fmt]
 
     # identical consumer surface to NativeRawSource (same C object)
     @property
@@ -717,15 +718,17 @@ class NativeRawSource:
                 str(path).encode(), ring_frames, int(pace), int(loop))
             self.fmt = "i16"
         else:
-            if fmt not in ("u8", "i16"):
-                raise ValueError("raw capture needs fmt='u8' or 'i16'")
+            if fmt not in ("u8", "i8", "i16"):
+                raise ValueError("raw capture needs fmt='u8', 'i8' or "
+                                 "'i16'")
             self._h = self._lib.sdr_raw_file_open(
                 str(path).encode(), ring_frames, int(pace), int(loop),
-                1 if fmt == "u8" else 2, rate)
+                2 if fmt == "i16" else 1, rate)
             self.fmt = fmt
         if not self._h:
             raise IOError(f"cannot open raw source {path}")
-        self._dtype = np.uint8 if self.fmt == "u8" else np.int16
+        self._dtype = {"u8": np.uint8, "i8": np.int8,
+                       "i16": np.int16}[self.fmt]
 
     @property
     def rate(self) -> int:

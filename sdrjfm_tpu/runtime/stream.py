@@ -34,7 +34,7 @@ def _jit_init_state(rx: Receiver):
 def _wire_dtype(cfg):
     import jax.numpy as jnp
     return {"c64": jnp.complex64, "i16": jnp.int16,
-            "u8": jnp.uint8}[cfg.iq_format]
+            "i8": jnp.int8, "u8": jnp.uint8}[cfg.iq_format]
 
 
 def _stage_blocks(iq: np.ndarray, cfg, nblocks: int):

@@ -101,3 +101,60 @@ class TestShardedI16:
         st8, out8 = sh.step(st8, controls, jnp.asarray(blk))
         np.testing.assert_array_equal(np.asarray(out1.audio),
                                       np.asarray(out8.audio))
+
+
+class TestI8:
+    """The hackrf wire format: SIGNED bytes /128
+    (hackrf-handler.cpp:360-365 — hackrf_transfer raw captures)."""
+
+    def test_bit_exact_vs_c64(self, capture_i16):
+        i8 = (capture_i16.astype(np.int32) >> 8).clip(-128, 127
+                                                      ).astype(np.int8)
+        c64 = ((i8[:, 0].astype(np.float32)
+                + 1j * i8[:, 1].astype(np.float32)) / 128.0
+               ).astype(np.complex64)
+        r_c = _run(c64, "c64")
+        r_i = _run(i8, "i8")
+        np.testing.assert_array_equal(r_c.audio, r_i.audio)
+        np.testing.assert_array_equal(r_c.rds_bits, r_i.rds_bits)
+        assert r_c.meta == r_i.meta
+
+    def test_cli_reads_hackrf_style_raw(self, tmp_path):
+        """End-to-end: a headerless SIGNED-byte capture (what
+        `hackrf_transfer -r` writes) through `rx --iq-format i8`."""
+        import json
+        from sdrjfm_tpu.app import main
+        from sdrjfm_tpu.rds import encode
+
+        # >= 2 name rotations must AIR: sync acquisition consumes most
+        # of the first group, and one rotation is 20 groups ~ 1.7 s
+        n = 16 * 32768
+        t = np.arange(n) / C.FM_RATE
+        bits = encode.make_bitstream(pi=0xBEEF, station="HACKRF  ",
+                                     radiotext="x", repeats=8)
+        syms = encode.differential_encode(bits)
+        mpx = synth.synth_mpx(0.5 * np.sin(2 * np.pi * 700 * t),
+                              0.5 * np.sin(2 * np.pi * 300 * t),
+                              synth.MPXParams(rds_level=0.08),
+                              rds_bits=syms)
+        iq = synth.fm_modulate(mpx, C.FM_RATE)
+        path = str(tmp_path / "capture.i8")
+        synth.iq_to_i8(iq * 0.95).tofile(path)   # i8 headroom like a real
+        report = str(tmp_path / "rep.json")      # front end's AGC leaves
+        rc = main(["rx", "--iq", path, "--iq-format", "i8", "--rds",
+                   "--report", report, "--block-fm", "32768"])
+        assert rc == 0
+        rep = json.load(open(report))
+        assert rep["rds"]["pi_code"] == "0xBEEF"
+        assert rep["rds"]["station_label"] == "HACKRF  "
+        assert rep["meta_last"]["pilot_locked"] is True
+        # and live through the native raw ring (--follow: signed bytes
+        # pass the C SPSC untouched, dtype applied host-side)
+        report2 = str(tmp_path / "rep2.json")
+        rc = main(["rx", "--iq", path, "--iq-format", "i8", "--rds",
+                   "--report", report2, "--block-fm", "32768",
+                   "--follow", "--no-pace"])
+        assert rc == 0
+        rep2 = json.load(open(report2))
+        assert rep2["rds"]["pi_code"] == "0xBEEF"
+        assert rep2["rds"]["station_label"] == "HACKRF  "
