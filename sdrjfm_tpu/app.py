@@ -218,6 +218,15 @@ def _build_rx_parser(sub):
     p.add_argument("--sensitivity", type=int,
                    help="airspy: composite sensitivity gain 0-21 "
                         "(airspy-handler.cpp:390-397)")
+    p.add_argument("--lna-gain", type=int,
+                   help="hackrf: LNA (IF) gain dB 0-40 step 8 "
+                        "(hackrf-handler.cpp:268-280)")
+    p.add_argument("--vga-gain", type=int,
+                   help="hackrf: VGA (baseband) gain dB 0-62 step 2 "
+                        "(hackrf-handler.cpp:283-295)")
+    p.add_argument("--amp", action="store_true",
+                   help="hackrf: enable the RF amp "
+                        "(hackrf-handler.cpp:299-303)")
     p.add_argument("--reconnect-timeout", type=float, default=0.0,
                    help="rtl_tcp: if the server drops mid-run, retry with "
                         "backoff for up to this many seconds, replay the "
@@ -451,7 +460,8 @@ def cmd_rx(args) -> int:
     is_rtltcp = args.iq.startswith(("rtl_tcp://", "rtltcp://"))
     is_rtlsdr = args.iq == "rtlsdr" or args.iq.startswith("rtlsdr:")
     is_airspy = args.iq == "airspy"
-    is_pipe = (not is_rtlsdr and not is_airspy
+    is_hackrf = args.iq == "hackrf"
+    is_pipe = (not is_rtlsdr and not is_airspy and not is_hackrf
                and (args.iq == "-" or _is_fifo(args.iq)))
     if (args.gain is not None or args.agc or args.ppm is not None) \
             and not (is_rtltcp or is_rtlsdr):
@@ -463,7 +473,13 @@ def cmd_rx(args) -> int:
         print("--linearity/--sensitivity control an airspy; pass "
               "--iq airspy", file=sys.stderr)
         return 2
-    if args.input_rate and (is_rtltcp or is_rtlsdr or is_airspy):
+    if (args.lna_gain is not None or args.vga_gain is not None
+            or args.amp) and not is_hackrf:
+        print("--lna-gain/--vga-gain/--amp control a hackrf; pass "
+              "--iq hackrf", file=sys.stderr)
+        return 2
+    if args.input_rate and (is_rtltcp or is_rtlsdr or is_airspy
+                            or is_hackrf):
         print("--input-rate applies to raw/pipe captures; SDR hardware "
               "negotiates its own rate", file=sys.stderr)
         return 2
@@ -477,7 +493,8 @@ def cmd_rx(args) -> int:
     # a missing/unreadable/corrupt capture is a clean message + exit 2,
     # not a traceback
     try:
-        is_wav = (False if (is_rtltcp or is_pipe or is_rtlsdr or is_airspy)
+        is_wav = (False if (is_rtltcp or is_pipe or is_rtlsdr
+                            or is_airspy or is_hackrf)
                   else is_riff(args.iq))
         if is_rtltcp or is_rtlsdr:
             # live SDR hardware (network rtl_tcp or in-process dlopen
@@ -493,6 +510,12 @@ def cmd_rx(args) -> int:
             args.follow = True
             iq_fmt, rate = "i16", C.INPUT_RATE
             args.input_rate = airspy_src.rate   # -> cfg.native_rate
+        elif is_hackrf:
+            # hackrf samples at the chain rate directly (arbitrary-rate
+            # set_sample_rate, hackrf-handler.cpp:112) — signed-byte
+            # wire, no rate adapter
+            args.follow = True
+            iq_fmt, rate = "i8", C.INPUT_RATE
         elif is_pipe:
             # stdin / FIFO: headerless stream from any external SDR tool
             # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming
@@ -802,6 +825,25 @@ def cmd_rx(args) -> int:
                             src.set_linearity(args.linearity)
                         if args.sensitivity is not None:
                             src.set_sensitivity(args.sensitivity)
+                        if args.tune_hz:
+                            src.set_frequency(args.tune_hz)
+                        if ctl_proc is not None:
+                            ctl_proc.source = src
+                            if args.tune_hz:
+                                ctl_proc.center_hz = int(args.tune_hz)
+                    elif is_hackrf:
+                        # settings in the hackrf-handler's order: gains,
+                        # amp, antenna, then frequency
+                        # (hackrf-handler.cpp:112-151, 256-315)
+                        from .runtime.native_source import HackRfUsbSource
+                        src = HackRfUsbSource(rate=C.INPUT_RATE)
+                        if args.lna_gain is not None:
+                            src.set_lna_gain(args.lna_gain)
+                        if args.vga_gain is not None:
+                            src.set_vga_gain(args.vga_gain)
+                        if args.amp:
+                            src.set_amp(True)
+                        src.set_antenna(True)
                         if args.tune_hz:
                             src.set_frequency(args.tune_hz)
                         if ctl_proc is not None:

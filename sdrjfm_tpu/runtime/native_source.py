@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_airspy_open           # newest ABI symbol; probes staleness
+        lib.sdr_hackrf_open           # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_airspy_open) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_hackrf_open) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -197,6 +197,35 @@ def load_library(build: bool = True):
     lib.sdr_airspy_dropped.argtypes = [ctypes.c_void_p]
     lib.sdr_airspy_eof.restype = ctypes.c_int
     lib.sdr_airspy_eof.argtypes = [ctypes.c_void_p]
+    # in-process dlopen(libhackrf) device
+    lib.sdr_hackrf_last_error.restype = ctypes.c_char_p
+    lib.sdr_hackrf_open.restype = ctypes.c_void_p
+    lib.sdr_hackrf_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_uint32]
+    lib.sdr_hackrf_rate.restype = ctypes.c_uint32
+    lib.sdr_hackrf_rate.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_set_freq.restype = ctypes.c_int
+    lib.sdr_hackrf_set_freq.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    for f in ("set_lna", "set_vga", "set_amp", "set_antenna"):
+        fn = getattr(lib, f"sdr_hackrf_{f}")
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_hackrf_start.restype = ctypes.c_int
+    lib.sdr_hackrf_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_hackrf_flush.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_hackrf_read_blocking.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_long]
+    lib.sdr_hackrf_available.restype = ctypes.c_size_t
+    lib.sdr_hackrf_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_dropped.restype = ctypes.c_uint64
+    lib.sdr_hackrf_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_hackrf_eof.restype = ctypes.c_int
+    lib.sdr_hackrf_eof.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -615,6 +644,106 @@ class AirspyUsbSource:
     def close(self):
         if self._h:
             self._lib.sdr_airspy_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class HackRfUsbSource:
+    """In-process HackRF via dlopen(libhackrf) — the third vendor-lib
+    backend, completing the wire-format triangle (u8 rtlsdr / i16 airspy /
+    i8 hackrf).  Reference semantics (devices/hackrf-handler/
+    hackrf-handler.cpp): the device samples at EXACTLY 2.304 MS/s
+    (set_sample_rate takes an arbitrary double, :112 — no rate adapter),
+    the callback delivers SIGNED 8-bit IQ (:357-368, iq_format='i8'
+    converts on-device), baseband filter bw via
+    compute_baseband_filter_bw (:124-126), lna/vga gains + amp/antenna
+    enables (:256-315).  SDRJFM_LIBHACKRF overrides the library path
+    (tests drive an in-tree fake)."""
+
+    fmt = "i8"
+
+    def __init__(self, rate: int = 2_304_000, ring_frames: int = 1 << 22,
+                 libname: str = None):
+        self._lib = load_library()
+        if libname is None:
+            libname = os.environ.get("SDRJFM_LIBHACKRF")
+        self._h = self._lib.sdr_hackrf_open(
+            libname.encode() if libname else None, ring_frames, int(rate))
+        if not self._h:
+            err = self._lib.sdr_hackrf_last_error().decode()
+            raise IOError(f"hackrf device: {err}")
+        self._rate = int(rate)
+
+    @property
+    def rate(self) -> int:
+        return self._rate
+
+    def _ck(self, rc: int, what: str) -> None:
+        if rc != 0:
+            raise IOError(f"hackrf {what} failed ({rc})")
+
+    def set_frequency(self, hz: int) -> None:
+        self._ck(self._lib.sdr_hackrf_set_freq(self._h, int(hz)),
+                 "set_freq")
+
+    def set_lna_gain(self, db: int) -> None:
+        self._ck(self._lib.sdr_hackrf_set_lna(self._h, int(db)),
+                 "set_lna_gain")
+
+    def set_vga_gain(self, db: int) -> None:
+        self._ck(self._lib.sdr_hackrf_set_vga(self._h, int(db)),
+                 "set_vga_gain")
+
+    def set_amp(self, on: bool) -> None:
+        self._ck(self._lib.sdr_hackrf_set_amp(self._h, 1 if on else 0),
+                 "set_amp_enable")
+
+    def set_antenna(self, on: bool) -> None:
+        self._ck(self._lib.sdr_hackrf_set_antenna(self._h,
+                                                  1 if on else 0),
+                 "set_antenna_enable")
+
+    def flush(self) -> None:
+        self._lib.sdr_hackrf_flush(self._h)
+
+    def start(self):
+        if self._lib.sdr_hackrf_start(self._h) != 0:
+            raise IOError(self._lib.sdr_hackrf_last_error().decode())
+
+    def pause(self, on: bool) -> None:
+        self._lib.sdr_hackrf_pause(self._h, 1 if on else 0)
+
+    def stop(self):
+        self._lib.sdr_hackrf_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_hackrf_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_hackrf_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_hackrf_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] int8 (iq_format='i8')."""
+        buf = np.empty(n_frames * 2, dtype=np.int8)
+        got = self._lib.sdr_hackrf_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * 2].reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_hackrf_close(self._h)
             self._h = None
 
     def __enter__(self):
