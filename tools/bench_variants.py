@@ -30,8 +30,8 @@ def run_variant(iq_np, block_fm, iq_format, nblocks):
                              ).reshape(nblocks, T)
     else:
         from sdrjfm_tpu.io import synth as _synth
-        arr = (_synth.iq_to_i16(iq_np) if iq_format == "i16"
-               else _synth.iq_to_u8(iq_np))
+        arr = {"i16": _synth.iq_to_i16, "u8": _synth.iq_to_u8,
+               "i8": _synth.iq_to_i8}[iq_format](iq_np)
         blocks = jnp.asarray(arr[: nblocks * T]).reshape(nblocks, T, 2)
     blocks = jax.device_put(blocks)
 
@@ -80,7 +80,8 @@ def main():
     iq_np = synth.fm_modulate(mpx, C.FM_RATE)
 
     for fmt, blk, nb in (("c64", 131072, 64), ("i16", 131072, 64),
-                         ("u8", 131072, 64), ("i16", 262144, 32)):
+                         ("u8", 131072, 64), ("i8", 131072, 64),
+                         ("i16", 262144, 32)):
         print(json.dumps(run_variant(iq_np, blk, fmt, nb)), flush=True)
 
 
