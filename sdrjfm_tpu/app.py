@@ -1128,16 +1128,23 @@ def cmd_scan(args) -> int:
 
     from .io.wavio import is_riff, read_iq_raw
     is_scan_rtlsdr = args.iq == "rtlsdr" or args.iq.startswith("rtlsdr:")
-    if args.iq.startswith(("rtl_tcp://", "rtltcp://")) or is_scan_rtlsdr:
-        # full-band hardware sweep: step the dongle across the raster and
+    is_scan_hackrf = args.iq == "hackrf"
+    if args.iq.startswith(("rtl_tcp://", "rtltcp://")) or is_scan_rtlsdr \
+            or is_scan_hackrf:
+        # full-band hardware sweep: step the device across the raster and
         # decide every channel of each stop in one vmapped dispatch —
-        # network rtl_tcp or the in-process dlopen dongle, same contract
+        # network rtl_tcp or the in-process dlopen devices, same
+        # scan_band source contract (set_frequency/read_block/fmt/rate)
         rx = Receiver(ReceiverConfig(block_fm=args.block_fm, rds="off"))
         try:
             if is_scan_rtlsdr:
                 from .runtime.native_source import RtlSdrUsbSource
                 src = RtlSdrUsbSource(_rtlsdr_index(args.iq),
                                       rate=C.INPUT_RATE)
+            elif is_scan_hackrf:
+                from .runtime.native_source import HackRfUsbSource
+                src = HackRfUsbSource(rate=C.INPUT_RATE)
+                src.set_antenna(True)
             else:
                 from .runtime.native_source import RtlTcpSource
                 host, port = _rtltcp_hostport(args.iq)
@@ -1177,9 +1184,9 @@ def cmd_scan(args) -> int:
             # headerless raw capture: scan is not a perf path, so convert
             # to complex host-side with the device conventions
             # (rtlsdr-handler.cpp:285-294 for u8)
-            if args.iq_format not in ("u8", "i16"):
-                print("raw (non-wav) capture: pass --iq-format u8 or i16",
-                      file=sys.stderr)
+            if args.iq_format not in ("u8", "i8", "i16"):
+                print("raw (non-wav) capture: pass --iq-format u8, i8 "
+                      "or i16", file=sys.stderr)
                 return 2
             iq = raw_to_c64(read_iq_raw(args.iq, args.iq_format),
                             args.iq_format)

@@ -44,6 +44,11 @@ def raw_to_c64(raw: np.ndarray, fmt: str) -> np.ndarray:
         return (((raw[:, 0].astype(np.float32) - 127.0)
                  + 1j * (raw[:, 1].astype(np.float32) - 127.0)) / 128.0
                 ).astype(np.complex64)
+    if fmt == "i8":
+        # hackrf signed bytes /128 (hackrf-handler.cpp:360-365)
+        return ((raw[:, 0].astype(np.float32)
+                 + 1j * raw[:, 1].astype(np.float32)) / 128.0
+                ).astype(np.complex64)
     if fmt == "i16":
         return ((raw[:, 0].astype(np.float32)
                  + 1j * raw[:, 1].astype(np.float32)) / 32768.0
