@@ -25,6 +25,10 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("iq")
+    ap.add_argument("--iq-format", default="auto",
+                    choices=["auto", "u8", "i8", "i16"],
+                    help="raw headerless captures: the wire convention "
+                         "(auto = RIFF wav)")
     ap.add_argument("--rds-mode", type=int, default=1,
                     help="0=off, 1/2/3 = the reference's decoders")
     ap.add_argument("--decoder", type=int, default=3,
@@ -40,10 +44,15 @@ def main(argv=None) -> int:
     import numpy as np
     sys.path.insert(0, "tests")
     from reference_oracle_binding import ReferenceOracle, build_oracle
-    from sdrjfm_tpu.io.wavio import read_iq_wav
+    from sdrjfm_tpu.io.wavio import is_riff, read_iq_raw, read_iq_wav
 
     build_oracle()
-    iq, rate = read_iq_wav(args.iq)
+    if args.iq_format != "auto" and not is_riff(args.iq):
+        from sdrjfm_tpu.models.bandscan import raw_to_c64
+        iq = raw_to_c64(read_iq_raw(args.iq, args.iq_format),
+                        args.iq_format)
+    else:
+        iq, rate = read_iq_wav(args.iq)
     o = ReferenceOracle(rds_mode=args.rds_mode, decoder=args.decoder,
                         input_filter=args.input_filter,
                         audio_filter_hz=args.audio_filter,
