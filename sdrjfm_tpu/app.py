@@ -218,6 +218,12 @@ def _build_rx_parser(sub):
     p.add_argument("--sensitivity", type=int,
                    help="airspy: composite sensitivity gain 0-21 "
                         "(airspy-handler.cpp:390-397)")
+    p.add_argument("--grdb", type=int,
+                   help="sdrplay: IF gain reduction dB 20-59 "
+                        "(Rsp-device.cpp:174-182)")
+    p.add_argument("--lna-state", type=int,
+                   help="sdrplay: LNA state (model-dependent bound, "
+                        "Rsp-device.cpp:184-190)")
     p.add_argument("--lna-gain", type=int,
                    help="hackrf: LNA (IF) gain dB 0-40 step 8 "
                         "(hackrf-handler.cpp:268-280)")
@@ -461,12 +467,24 @@ def cmd_rx(args) -> int:
     is_rtlsdr = args.iq == "rtlsdr" or args.iq.startswith("rtlsdr:")
     is_airspy = args.iq == "airspy"
     is_hackrf = args.iq == "hackrf"
+    is_sdrplay = args.iq == "sdrplay"
     is_pipe = (not is_rtlsdr and not is_airspy and not is_hackrf
+               and not is_sdrplay
                and (args.iq == "-" or _is_fifo(args.iq)))
-    if (args.gain is not None or args.agc or args.ppm is not None) \
-            and not (is_rtltcp or is_rtlsdr):
-        print("--gain/--agc/--ppm control a hardware device; pass --iq "
-              "rtl_tcp://host:port or --iq rtlsdr[:index]", file=sys.stderr)
+    if args.gain is not None and not (is_rtltcp or is_rtlsdr):
+        print("--gain controls an rtl tuner; pass --iq rtl_tcp://host:port "
+              "or --iq rtlsdr[:index]", file=sys.stderr)
+        return 2
+    if (args.agc or args.ppm is not None) \
+            and not (is_rtltcp or is_rtlsdr or is_sdrplay):
+        print("--agc/--ppm control a hardware device; pass --iq "
+              "rtl_tcp://host:port, rtlsdr[:index] or sdrplay",
+              file=sys.stderr)
+        return 2
+    if (args.grdb is not None or args.lna_state is not None) \
+            and not is_sdrplay:
+        print("--grdb/--lna-state control an sdrplay; pass --iq sdrplay",
+              file=sys.stderr)
         return 2
     if (args.linearity is not None or args.sensitivity is not None) \
             and not is_airspy:
@@ -479,7 +497,7 @@ def cmd_rx(args) -> int:
               "--iq hackrf", file=sys.stderr)
         return 2
     if args.input_rate and (is_rtltcp or is_rtlsdr or is_airspy
-                            or is_hackrf):
+                            or is_hackrf or is_sdrplay):
         print("--input-rate applies to raw/pipe captures; SDR hardware "
               "negotiates its own rate", file=sys.stderr)
         return 2
@@ -494,7 +512,7 @@ def cmd_rx(args) -> int:
     # not a traceback
     try:
         is_wav = (False if (is_rtltcp or is_pipe or is_rtlsdr
-                            or is_airspy or is_hackrf)
+                            or is_airspy or is_hackrf or is_sdrplay)
                   else is_riff(args.iq))
         if is_rtltcp or is_rtlsdr:
             # live SDR hardware (network rtl_tcp or in-process dlopen
@@ -516,6 +534,12 @@ def cmd_rx(args) -> int:
             # wire, no rate adapter
             args.follow = True
             iq_fmt, rate = "i8", C.INPUT_RATE
+        elif is_sdrplay:
+            # sdrplay fs = the chain rate (above the RSP's 2 MHz ADC
+            # floor, Rsp-device.cpp:71) — planar shorts interleaved into
+            # the i16 ring, no rate adapter
+            args.follow = True
+            iq_fmt, rate = "i16", C.INPUT_RATE
         elif is_pipe:
             # stdin / FIFO: headerless stream from any external SDR tool
             # (`rtl_sdr -f 95M - | rx --iq - --iq-format u8`); streaming
@@ -844,6 +868,25 @@ def cmd_rx(args) -> int:
                         if args.amp:
                             src.set_amp(True)
                         src.set_antenna(True)
+                        if args.tune_hz:
+                            src.set_frequency(args.tune_hz)
+                        if ctl_proc is not None:
+                            ctl_proc.source = src
+                            if args.tune_hz:
+                                ctl_proc.center_hz = int(args.tune_hz)
+                    elif is_sdrplay:
+                        # settings in the Rsp-device order: gains, agc,
+                        # ppm, then frequency (Rsp-device.cpp:160-198)
+                        from .runtime.native_source import SdrplayUsbSource
+                        src = SdrplayUsbSource(rate=C.INPUT_RATE)
+                        if args.grdb is not None:
+                            src.set_grdb(args.grdb)
+                        if args.lna_state is not None:
+                            src.set_lna_state(args.lna_state)
+                        if args.agc:
+                            src.set_agc(True)
+                        if args.ppm is not None:
+                            src.set_freq_correction(args.ppm)
                         if args.tune_hz:
                             src.set_frequency(args.tune_hz)
                         if ctl_proc is not None:

@@ -1602,3 +1602,350 @@ void sdr_hackrf_close(SdrHackrfSource* s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// In-process SDRplay RSP via dlopen(libsdrplay_api) — the FOURTH vendor
+// backend, covering the service-API pattern the reference's
+// sdrplay-handler-v3 uses (devices/sdrplay-handler-v3/): a session-global
+// API (Open/LockDeviceApi/GetDevices/SelectDevice), a device-params
+// STRUCT TREE edited in place + committed with sdrplay_api_Update reason
+// masks (Rsp-device.cpp:60-106,160-198), Init/Uninit around streaming,
+// and PLANAR short sample delivery (StreamACallback xi/xq,
+// sdrplay-handler-v3.cpp:367-386 — interleaved into the i16 ring here;
+// the 12/14-bit denominator scale only moves absolute level, which the
+// discriminator normalizes).  The reference serializes vendor calls
+// through its semaphore command queue because its GUI thread races the
+// device thread (sdrplay-commands.h:43-60); this backend gets the same
+// safety from one mutex around the param-edit + Update pairs.
+// ABI: runtime/native/sdrplay_abi.h (transcribed v3.06 vendor layout).
+// ---------------------------------------------------------------------------
+
+#include "sdrplay_abi.h"
+
+namespace {
+
+struct SdrplayApi {
+  void* dl = nullptr;
+  int (*Open)();
+  int (*Close)();
+  int (*ApiVersion)(float*);
+  int (*LockDeviceApi)();
+  int (*UnlockDeviceApi)();
+  int (*GetDevices)(sdrjfm_sdrplay_DeviceT*, unsigned int*, unsigned int);
+  int (*SelectDevice)(sdrjfm_sdrplay_DeviceT*);
+  int (*ReleaseDevice)(sdrjfm_sdrplay_DeviceT*);
+  const char* (*GetErrorString)(int);
+  int (*GetDeviceParams)(sdrplay_HANDLE, sdrjfm_sdrplay_DeviceParamsT**);
+  int (*Init)(sdrplay_HANDLE, sdrjfm_sdrplay_CallbackFnsT*, void*);
+  int (*Uninit)(sdrplay_HANDLE);
+  int (*Update)(sdrplay_HANDLE, int, int, int);
+};
+
+char g_sdrplay_error[256] = "";
+
+void set_sdrplay_error(const char* msg) {
+  snprintf(g_sdrplay_error, sizeof(g_sdrplay_error), "%s", msg);
+}
+
+bool load_sdrplay_api(const char* libname, SdrplayApi* api) {
+  const char* explicit_only[] = {libname};
+  const char* sonames[] = {"libsdrplay_api.so", "libsdrplay_api.so.2"};
+  const char** candidates = libname ? explicit_only : sonames;
+  size_t n_cand = libname ? 1 : sizeof(sonames) / sizeof(sonames[0]);
+  void* dl = nullptr;
+  for (size_t i = 0; i < n_cand; i++) {
+    dl = dlopen(candidates[i], RTLD_NOW | RTLD_LOCAL);
+    if (dl) break;
+  }
+  if (!dl) {
+    const char* err = dlerror();
+    set_sdrplay_error(err ? err : "dlopen(libsdrplay_api) failed");
+    return false;
+  }
+  api->dl = dl;
+  auto ok = [&](const char* n, auto* out) {
+    return resolve(dl, n, out) ||
+           (set_sdrplay_error((std::string("missing symbol ") + n).c_str()),
+            false);
+  };
+  if (!ok("sdrplay_api_Open", &api->Open) ||
+      !ok("sdrplay_api_Close", &api->Close) ||
+      !ok("sdrplay_api_ApiVersion", &api->ApiVersion) ||
+      !ok("sdrplay_api_LockDeviceApi", &api->LockDeviceApi) ||
+      !ok("sdrplay_api_UnlockDeviceApi", &api->UnlockDeviceApi) ||
+      !ok("sdrplay_api_GetDevices", &api->GetDevices) ||
+      !ok("sdrplay_api_SelectDevice", &api->SelectDevice) ||
+      !ok("sdrplay_api_ReleaseDevice", &api->ReleaseDevice) ||
+      !ok("sdrplay_api_GetErrorString", &api->GetErrorString) ||
+      !ok("sdrplay_api_GetDeviceParams", &api->GetDeviceParams) ||
+      !ok("sdrplay_api_Init", &api->Init) ||
+      !ok("sdrplay_api_Uninit", &api->Uninit) ||
+      !ok("sdrplay_api_Update", &api->Update)) {
+    dlclose(dl);
+    api->dl = nullptr;
+    return false;
+  }
+  return true;
+}
+
+struct SdrSdrplaySource {
+  SpscRing<uint8_t> ring;       // interleaved i16 IQ frames (4 bytes)
+  SdrplayApi api;
+  sdrjfm_sdrplay_DeviceT device{};
+  sdrjfm_sdrplay_DeviceParamsT* params = nullptr;
+  sdrjfm_sdrplay_CallbackFnsT cbFns{};
+  std::mutex api_mu;            // the command-queue role (see header)
+  std::atomic<bool> running{false};
+  std::atomic<bool> paused{false};
+  std::atomic<uint64_t> dropped{0};
+  std::atomic<int> eof{0};
+  bool selected = false;
+  bool api_open = false;
+  uint32_t rate = 0;
+  char hw_ver = 0;
+
+  explicit SdrSdrplaySource(size_t ring_frames) : ring(ring_frames * 4) {}
+};
+
+// planar shorts -> interleaved i16 ring (StreamACallback semantics,
+// sdrplay-handler-v3.cpp:367-386)
+void sdrplay_stream_a_cb(short* xi, short* xq,
+                         sdrjfm_sdrplay_StreamCbParamsT*, unsigned int n,
+                         unsigned int, void* ctx) {
+  auto* s = static_cast<SdrSdrplaySource*>(ctx);
+  if (!s->running.load(std::memory_order_relaxed)) return;
+  if (n == 0) {                  // fake-lib end-of-capture marker
+    s->eof.store(1);
+    return;
+  }
+  if (s->paused.load(std::memory_order_relaxed)) {
+    s->dropped.fetch_add(n);
+    return;
+  }
+  int16_t local[2048 * 2];
+  unsigned int done = 0;
+  while (done < n) {
+    unsigned int k = n - done > 2048 ? 2048 : n - done;
+    for (unsigned int i = 0; i < k; i++) {
+      local[2 * i] = xi[done + i];
+      local[2 * i + 1] = xq[done + i];
+    }
+    size_t put = s->ring.put(reinterpret_cast<uint8_t*>(local), k * 4);
+    if (put < size_t(k) * 4) s->dropped.fetch_add((k * 4 - put) / 4);
+    done += k;
+  }
+}
+
+void sdrplay_stream_b_cb(short*, short*, sdrjfm_sdrplay_StreamCbParamsT*,
+                         unsigned int, unsigned int, void*) {}
+
+void sdrplay_event_cb(int, int, void*, void*) {
+  // GainChange / PowerOverload events; the reference acks overloads
+  // (sdrplay-handler-v3.cpp:419-427) — nothing to do for the rx path
+}
+
+void sdrplay_teardown(SdrSdrplaySource* s) {
+  if (s->selected) {
+    s->api.LockDeviceApi();
+    s->api.ReleaseDevice(&s->device);
+    s->api.UnlockDeviceApi();
+    s->selected = false;
+  }
+  if (s->api_open) {
+    s->api.Close();
+    s->api_open = false;
+  }
+  if (s->api.dl) dlclose(s->api.dl);
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* sdr_sdrplay_last_error() { return g_sdrplay_error; }
+
+// Open + configure: the reference's sequence (sdrplay-handler-v3.cpp:
+// 486-560 + Rsp-device.cpp:60-106): Open -> ApiVersion -> Lock ->
+// GetDevices -> SelectDevice -> Unlock -> GetDeviceParams -> set
+// fs/bw/if/rf/gain -> (Init happens at start()).
+SdrSdrplaySource* sdr_sdrplay_open(const char* libname, size_t ring_frames,
+                                   uint32_t rate) {
+  auto* s = new SdrSdrplaySource(ring_frames);
+  if (!load_sdrplay_api(libname, &s->api)) {
+    delete s;
+    return nullptr;
+  }
+  if (s->api.Open() != sdrjfm_sdrplay_Success) {
+    set_sdrplay_error("sdrplay_api_Open failed (service not running)");
+    dlclose(s->api.dl);
+    delete s;
+    return nullptr;
+  }
+  s->api_open = true;
+  float ver = 0.0f;
+  s->api.ApiVersion(&ver);
+  if (ver < 3.0f || ver >= 4.0f) {
+    set_sdrplay_error("sdrplay_api version mismatch (need 3.x)");
+    sdrplay_teardown(s);
+    delete s;
+    return nullptr;
+  }
+  s->api.LockDeviceApi();
+  sdrjfm_sdrplay_DeviceT devs[SDRJFM_SDRPLAY_MAX_DEVICES];
+  unsigned int ndev = 0;
+  if (s->api.GetDevices(devs, &ndev, SDRJFM_SDRPLAY_MAX_DEVICES) !=
+          sdrjfm_sdrplay_Success ||
+      ndev == 0) {
+    set_sdrplay_error(ndev == 0 ? "no sdrplay device found"
+                                : "sdrplay_api_GetDevices failed");
+    s->api.UnlockDeviceApi();
+    sdrplay_teardown(s);
+    delete s;
+    return nullptr;
+  }
+  s->device = devs[0];
+  if (s->api.SelectDevice(&s->device) != sdrjfm_sdrplay_Success) {
+    set_sdrplay_error("sdrplay_api_SelectDevice failed");
+    s->api.UnlockDeviceApi();
+    sdrplay_teardown(s);
+    delete s;
+    return nullptr;
+  }
+  s->selected = true;
+  s->api.UnlockDeviceApi();
+  s->hw_ver = char(s->device.hwVer);
+  if (s->api.GetDeviceParams(s->device.dev, &s->params) !=
+          sdrjfm_sdrplay_Success ||
+      !s->params || !s->params->devParams || !s->params->rxChannelA) {
+    set_sdrplay_error("sdrplay_api_GetDeviceParams failed");
+    sdrplay_teardown(s);
+    delete s;
+    return nullptr;
+  }
+  // Rsp-device.cpp:71-86: fs at the chain rate (>= the RSP's 2 MHz ADC
+  // floor), zero-IF, 1.536 MHz analog bw, AGC off, LNA state 3
+  s->params->devParams->fsFreq.fsHz = double(rate);
+  auto* ch = s->params->rxChannelA;
+  ch->tunerParams.bwType = sdrjfm_sdrplay_BW_1_536;
+  ch->tunerParams.ifType = sdrjfm_sdrplay_IF_Zero;
+  ch->tunerParams.rfFreq.rfHz = 94300000.0;
+  ch->tunerParams.gain.gRdB = 30;
+  ch->tunerParams.gain.LNAstate = 3;
+  ch->ctrlParams.agc.enable = sdrjfm_sdrplay_AGC_DISABLE;
+  s->rate = rate;
+  return s;
+}
+
+uint32_t sdr_sdrplay_rate(SdrSdrplaySource* s) { return s->rate; }
+char sdr_sdrplay_hw_ver(SdrSdrplaySource* s) { return s->hw_ver; }
+
+// param edits commit with an Update reason mask (Rsp-device.cpp:160-198);
+// one mutex plays the reference command queue's serialization role
+int sdr_sdrplay_set_freq(SdrSdrplaySource* s, uint64_t hz) {
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->params->rxChannelA->tunerParams.rfFreq.rfHz = double(hz);
+  if (!s->running.load()) return 0;   // committed by Init at start()
+  return s->api.Update(s->device.dev, s->device.tuner,
+                       sdrjfm_sdrplay_Update_Tuner_Frf,
+                       sdrjfm_sdrplay_Update_Ext1_None);
+}
+
+int sdr_sdrplay_set_grdb(SdrSdrplaySource* s, int grdb) {
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->params->rxChannelA->tunerParams.gain.gRdB = grdb;
+  if (!s->running.load()) return 0;
+  return s->api.Update(s->device.dev, s->device.tuner,
+                       sdrjfm_sdrplay_Update_Tuner_Gr,
+                       sdrjfm_sdrplay_Update_Ext1_None);
+}
+
+int sdr_sdrplay_set_lna_state(SdrSdrplaySource* s, int state) {
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->params->rxChannelA->tunerParams.gain.LNAstate =
+      (unsigned char)(state);
+  if (!s->running.load()) return 0;
+  return s->api.Update(s->device.dev, s->device.tuner,
+                       sdrjfm_sdrplay_Update_Tuner_Gr,
+                       sdrjfm_sdrplay_Update_Ext1_None);
+}
+
+int sdr_sdrplay_set_agc(SdrSdrplaySource* s, int on) {
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->params->rxChannelA->ctrlParams.agc.enable =
+      on ? sdrjfm_sdrplay_AGC_100HZ : sdrjfm_sdrplay_AGC_DISABLE;
+  if (!s->running.load()) return 0;
+  return s->api.Update(s->device.dev, s->device.tuner,
+                       sdrjfm_sdrplay_Update_Ctrl_Agc,
+                       sdrjfm_sdrplay_Update_Ext1_None);
+}
+
+int sdr_sdrplay_set_ppm(SdrSdrplaySource* s, double ppm) {
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->params->devParams->ppm = ppm;
+  if (!s->running.load()) return 0;
+  return s->api.Update(s->device.dev, s->device.tuner,
+                       sdrjfm_sdrplay_Update_Dev_Ppm,
+                       sdrjfm_sdrplay_Update_Ext1_None);
+}
+
+int sdr_sdrplay_start(SdrSdrplaySource* s) {
+  if (s->running.load()) return 0;
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->cbFns.StreamACbFn = sdrplay_stream_a_cb;
+  s->cbFns.StreamBCbFn = sdrplay_stream_b_cb;
+  s->cbFns.EventCbFn = sdrplay_event_cb;
+  s->running.store(true);
+  s->eof.store(0);
+  int r = s->api.Init(s->device.dev, &s->cbFns, s);
+  if (r != sdrjfm_sdrplay_Success) {
+    s->running.store(false);
+    set_sdrplay_error("sdrplay_api_Init failed");
+  }
+  return r;
+}
+
+void sdr_sdrplay_pause(SdrSdrplaySource* s, int on) {
+  s->paused.store(on != 0);
+}
+void sdr_sdrplay_flush(SdrSdrplaySource* s) { s->ring.reset(); }
+
+void sdr_sdrplay_stop(SdrSdrplaySource* s) {
+  if (!s->running.load()) return;
+  s->running.store(false);
+  std::lock_guard<std::mutex> lk(s->api_mu);
+  s->api.Uninit(s->device.dev);
+  s->eof.store(1);
+}
+
+size_t sdr_sdrplay_read_blocking(SdrSdrplaySource* s, uint8_t* dst,
+                                 size_t n_frames, long timeout_ms) {
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < n_frames) {
+    got += s->ring.get(dst + 4 * got, (n_frames - got) * 4) / 4;
+    if (got >= n_frames) break;
+    if (s->eof.load() && s->ring.readAvailable() < 4) break;
+    if (timeout_ms >= 0 && std::chrono::steady_clock::now() > deadline) break;
+    std::this_thread::sleep_for(std::chrono::microseconds(500));
+  }
+  return got;
+}
+
+size_t sdr_sdrplay_available(SdrSdrplaySource* s) {
+  return s->ring.readAvailable() / 4;
+}
+uint64_t sdr_sdrplay_dropped(SdrSdrplaySource* s) {
+  return s->dropped.load();
+}
+int sdr_sdrplay_eof(SdrSdrplaySource* s) {
+  return s->eof.load() && s->ring.readAvailable() < 4;
+}
+
+void sdr_sdrplay_close(SdrSdrplaySource* s) {
+  sdr_sdrplay_stop(s);
+  sdrplay_teardown(s);
+  delete s;
+}
+
+}  // extern "C"

@@ -47,10 +47,10 @@ def load_library(build: bool = True):
         raise NativeUnavailable("libsdrjfm_ingest.so not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
     try:
-        lib.sdr_hackrf_open           # newest ABI symbol; probes staleness
+        lib.sdr_sdrplay_open          # newest ABI symbol; probes staleness
     except AttributeError:
         raise NativeUnavailable(
-            "libsdrjfm_ingest.so is stale (missing sdr_hackrf_open) and "
+            "libsdrjfm_ingest.so is stale (missing sdr_sdrplay_open) and "
             "rebuilding failed; run `make -C sdrjfm_tpu/runtime/native -B`")
     lib.sdr_wav_source_open.restype = ctypes.c_void_p
     lib.sdr_wav_source_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -226,6 +226,39 @@ def load_library(build: bool = True):
     lib.sdr_hackrf_dropped.argtypes = [ctypes.c_void_p]
     lib.sdr_hackrf_eof.restype = ctypes.c_int
     lib.sdr_hackrf_eof.argtypes = [ctypes.c_void_p]
+    # in-process dlopen(libsdrplay_api) device
+    lib.sdr_sdrplay_last_error.restype = ctypes.c_char_p
+    lib.sdr_sdrplay_open.restype = ctypes.c_void_p
+    lib.sdr_sdrplay_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                     ctypes.c_uint32]
+    lib.sdr_sdrplay_rate.restype = ctypes.c_uint32
+    lib.sdr_sdrplay_rate.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_hw_ver.restype = ctypes.c_char
+    lib.sdr_sdrplay_hw_ver.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_set_freq.restype = ctypes.c_int
+    lib.sdr_sdrplay_set_freq.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    for f in ("set_grdb", "set_lna_state", "set_agc"):
+        fn = getattr(lib, f"sdr_sdrplay_{f}")
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_sdrplay_set_ppm.restype = ctypes.c_int
+    lib.sdr_sdrplay_set_ppm.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.sdr_sdrplay_start.restype = ctypes.c_int
+    lib.sdr_sdrplay_start.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sdr_sdrplay_flush.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_stop.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_close.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_read_blocking.restype = ctypes.c_size_t
+    lib.sdr_sdrplay_read_blocking.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_long]
+    lib.sdr_sdrplay_available.restype = ctypes.c_size_t
+    lib.sdr_sdrplay_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_dropped.restype = ctypes.c_uint64
+    lib.sdr_sdrplay_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_sdrplay_eof.restype = ctypes.c_int
+    lib.sdr_sdrplay_eof.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -644,6 +677,114 @@ class AirspyUsbSource:
     def close(self):
         if self._h:
             self._lib.sdr_airspy_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SdrplayUsbSource:
+    """In-process SDRplay RSP via dlopen(libsdrplay_api) — the fourth
+    vendor backend, covering the reference's service-API pattern
+    (devices/sdrplay-handler-v3/): device-params struct tree edited in
+    place and committed with Update reason masks, Init/Uninit around
+    streaming, PLANAR short delivery interleaved into the i16 ring.
+    The device samples at the chain rate directly (fsHz = 2.304 MHz,
+    above the RSP's 2 MHz ADC floor — Rsp-device.cpp:71).
+    SDRJFM_LIBSDRPLAY overrides the library path (tests drive an in-tree
+    fake service).
+
+    Scale note: RSP ADCs are 12/14-bit (denominator 2048/4096,
+    sdrplay-handler-v3.cpp:556-640) over the i16 wire; the constant
+    level offset vs /32768 cancels in the discriminator."""
+
+    fmt = "i16"
+
+    def __init__(self, rate: int = 2_304_000, ring_frames: int = 1 << 22,
+                 libname: str = None):
+        self._lib = load_library()
+        if libname is None:
+            libname = os.environ.get("SDRJFM_LIBSDRPLAY")
+        self._h = self._lib.sdr_sdrplay_open(
+            libname.encode() if libname else None, ring_frames, int(rate))
+        if not self._h:
+            err = self._lib.sdr_sdrplay_last_error().decode()
+            raise IOError(f"sdrplay device: {err}")
+        self._rate = int(rate)
+
+    @property
+    def rate(self) -> int:
+        return self._rate
+
+    @property
+    def hw_ver(self) -> int:
+        """RSP model id (SDRPLAY_RSP1A_ID=255, ... sdrplay_api.h:33-37)."""
+        return ord(self._lib.sdr_sdrplay_hw_ver(self._h))
+
+    def _ck(self, rc: int, what: str) -> None:
+        if rc != 0:
+            raise IOError(f"sdrplay {what} failed ({rc})")
+
+    def set_frequency(self, hz: int) -> None:
+        self._ck(self._lib.sdr_sdrplay_set_freq(self._h, int(hz)),
+                 "set_freq")
+
+    def set_grdb(self, grdb: int) -> None:
+        """IF gain reduction dB 20..59 (Rsp-device.cpp:174-182)."""
+        self._ck(self._lib.sdr_sdrplay_set_grdb(self._h, int(grdb)),
+                 "set_grdb")
+
+    def set_lna_state(self, state: int) -> None:
+        self._ck(self._lib.sdr_sdrplay_set_lna_state(self._h, int(state)),
+                 "set_lna_state")
+
+    def set_agc(self, on: bool) -> None:
+        self._ck(self._lib.sdr_sdrplay_set_agc(self._h, 1 if on else 0),
+                 "set_agc")
+
+    def set_freq_correction(self, ppm: float) -> None:
+        self._ck(self._lib.sdr_sdrplay_set_ppm(self._h, float(ppm)),
+                 "set_ppm")
+
+    def flush(self) -> None:
+        self._lib.sdr_sdrplay_flush(self._h)
+
+    def start(self):
+        if self._lib.sdr_sdrplay_start(self._h) != 0:
+            raise IOError(self._lib.sdr_sdrplay_last_error().decode())
+
+    def pause(self, on: bool) -> None:
+        self._lib.sdr_sdrplay_pause(self._h, 1 if on else 0)
+
+    def stop(self):
+        self._lib.sdr_sdrplay_stop(self._h)
+
+    def available(self) -> int:
+        return int(self._lib.sdr_sdrplay_available(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sdr_sdrplay_dropped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.sdr_sdrplay_eof(self._h))
+
+    def read_block(self, n_frames: int, timeout_ms: int = 10_000):
+        """Blocking read; returns [got, 2] int16 (iq_format='i16')."""
+        buf = np.empty(n_frames * 2, dtype=np.int16)
+        got = self._lib.sdr_sdrplay_read_blocking(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_frames, timeout_ms)
+        return buf[: got * 2].reshape(-1, 2)
+
+    def close(self):
+        if self._h:
+            self._lib.sdr_sdrplay_close(self._h)
             self._h = None
 
     def __enter__(self):
